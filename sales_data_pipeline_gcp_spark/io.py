@@ -1,0 +1,116 @@
+"""Typed sources and sinks.
+
+Generalizes the reference's single source (explicit-schema CSV scan,
+scripts/process_sales.py:25-35) and single sink (append-mode table write,
+scripts/process_sales.py:66-69) into a small library. All readers take an
+explicit schema where the format needs one — schema inference is a scale
+anti-pattern (it double-reads the data).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+#: nanoseconds per time unit, for deriving µs/seconds from raw int64-nanos.
+NS_PER_US = 1_000_000
+NS_PER_SECOND = 1_000_000_000
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Parquet scan of one fixture table (TESTDATA.md layout).
+
+    Parquet is the scale-path format: columnar, predicate pushdown,
+    row-group pruning, and partition pruning all apply — the final
+    ``select``/``filter`` in a query reaches this scan via Catalyst.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it via
+    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) so ``ts``
+    arrives as int64 nanoseconds, and add ``ts_us`` (µs-truncated
+    TimestampType) for event-time operators. Queries that must hash-match
+    the DuckDB oracle should emit integer epoch values or date_trunc'd
+    timestamps, never raw ns (DuckDB keeps ns precision; Spark can't).
+    """
+    if table == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts_us", F.timestamp_micros(F.expr(f"ts div {NS_PER_US}")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- the reference's exact input shape -------------------------------------
+
+#: Explicit reader schema for sales CSVs — mirrors the StructType the
+#: reference declares (scripts/process_sales.py:25-32): every field nullable.
+SALES_SCHEMA = T.StructType(
+    [
+        T.StructField("product", T.StringType(), True),
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("quantity", T.IntegerType(), True),
+        T.StructField("total", T.DoubleType(), True),
+        T.StructField("ordered_at", T.TimestampType(), True),
+        T.StructField("delivery_at", T.TimestampType(), True),
+    ]
+)
+
+
+def read_sales_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Header-aware CSV scan with the explicit sales schema — no inference,
+    malformed values -> NULL (PERMISSIVE), matching the reference's reader
+    (scripts/process_sales.py:35).
+    """
+    return spark.read.csv(path, header=True, schema=SALES_SCHEMA)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_append(df: DataFrame, path: str, *, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """Append-mode sink — the local analog of the reference's BigQuery append
+    (scripts/process_sales.py:66-69). ``partition_by`` enables partition
+    pruning for downstream scans; at 100 TB a date/key-partitioned layout is
+    the difference between a full scan and a pruned one.
+    """
+    writer = df.write.mode("append").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
