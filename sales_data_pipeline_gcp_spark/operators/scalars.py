@@ -1,1 +1,183 @@
-"""Placeholder — filled in as operators land (SURVEY.md §7 phases)."""
+"""Scalar expression surface (SURVEY.md §2.3 projection/filter rows):
+string, math, date/time, array (higher-order), and JSON functions.
+
+Everything is a built-in ``pyspark.sql.functions`` expression — JVM-side,
+inside whole-stage codegen, no Python in the hot path. Each query documents
+the cross-engine fine print it navigates (SURVEY.md §7 hard-part #1):
+Spark/DuckDB differ on dayofweek origin, date_add return types, and NULL
+sort defaults, so the queries spell those out explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+
+@register(
+    "q_string_scalars",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name)                                    AS name_lower,
+           UPPER(p_brand)                                   AS brand_upper,
+           TRIM(p_type)                                     AS type_trim,
+           LENGTH(p_name)                                   AS name_len,
+           SUBSTRING(p_name, 1, 5)                          AS name_head,
+           CONCAT(p_brand, ':', p_type)                     AS brand_type,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1)             AS first_word,
+           (p_type LIKE '%a%')                              AS has_a,
+           REPLACE(p_name, ' ', '_')                        AS name_snake
+    FROM part
+    """,
+    doc="String scalar pack over part: case, trim, length, substring, "
+    "concat, regexp_extract, LIKE, replace. All 1-based, Spark == DuckDB.",
+    tags=("scalar",),
+)
+def q_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_type").like("%a%").alias("has_a"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "q_math_scalars",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000.0)          AS abs_dev,
+           CEIL(l_extendedprice / 1000.0)          AS price_kilo_ceil,
+           FLOOR(l_quantity / 7.0)                 AS qty_weeks,
+           ROUND(l_extendedprice * 0.07, 2)        AS fee,
+           SQRT(l_extendedprice)                   AS price_sqrt,
+           POWER(l_discount, 2)                    AS disc_sq,
+           l_orderkey % 97                         AS key_mod
+    FROM lineitem
+    """,
+    doc="Math scalar pack: abs/ceil/floor/round/sqrt/power/modulo. sqrt is "
+    "IEEE-exact and power(x,2) is an exact multiply, so doubles match "
+    "bit-for-bit cross-engine; transcendental pow/log/exp are deliberately "
+    "NOT in oracle queries (libm last-ulp divergence).",
+    tags=("scalar",),
+)
+def q_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_kilo_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_weeks"),
+        F.round(F.col("l_extendedprice") * 0.07, 2).alias("fee"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.pow("l_discount", 2).alias("disc_sq"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+    )
+
+
+@register(
+    "q_date_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER)                            AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER)                           AS order_month,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER)                   AS order_dow,
+           DATE_TRUNC('month', o_orderdate)                              AS month_start,
+           o_orderdate + INTERVAL 7 DAY                                  AS week_later,
+           CAST(DATE_DIFF('day', DATE_TRUNC('month', o_orderdate), o_orderdate) AS INTEGER)
+                                                                         AS day_in_month,
+           STRFTIME(o_orderdate, '%Y-%m-%d')                             AS order_date_str
+    FROM orders
+    """,
+    doc="Date/time scalar pack. Cross-engine traps handled: Spark DAYOFWEEK "
+    "is 1=Sunday vs DuckDB 0=Sunday (+1 in oracle); Spark date_add returns "
+    "DATE so timestampadd keeps TIMESTAMP; widths pinned with casts. "
+    "Timestamps are NTZ end-to-end -> session-timezone-proof.",
+    tags=("scalar",),
+)
+def q_date_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.expr("timestampadd(DAY, 7, o_orderdate)").alias("week_later"),
+        F.datediff(F.col("o_orderdate"), F.date_trunc("month", F.col("o_orderdate")))
+        .cast("int")
+        .alias("day_in_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@register(
+    "q_array_scalars",
+    oracle="""
+    SELECT vec_id,
+           label,
+           LENGTH(embedding)                       AS dim,
+           embedding[1]                            AS first_elem,
+           embedding[1:3]                          AS head3,
+           CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)  AS sq_norm
+    FROM embeddings
+    """,
+    doc="Array/higher-order surface over embeddings: size, element_at, "
+    "slice, transform+aggregate (sum of squares). Elements are cast to "
+    "DOUBLE before multiply-accumulate so both engines run the identical "
+    "sequential double reduction.",
+    tags=("scalar", "array"),
+)
+def q_array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        sq_norm.alias("sq_norm"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           value,
+           JSON_EXTRACT_STRING(props, '$.k')            AS k_str,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    """,
+    doc="JSON scalar surface over events.props: path extraction as string "
+    "and typed cast. Spark side also exercises from_json -> struct field "
+    "access (same value, schema-checked in tests).",
+    tags=("scalar", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k BIGINT")["k"].alias("k_int"),
+    )
