@@ -1,1 +1,440 @@
-"""Placeholder — filled in as operators land (SURVEY.md §7 phases)."""
+"""Deduplication family for LLM training-data pipelines (SURVEY.md §2.4):
+
+- exact content dedup (hash-groupBy),
+- n-gram-shingle Jaccard near-dup (explode + band join, fully SQL),
+- MinHash+LSH near-dup (shingle -> k minhashes -> banded bucket join ->
+  exact-Jaccard verification),
+- SimHash near-dup (token bit-vote -> chunk-blocked hamming join),
+- embedding-cosine near-dup (label-blocked brute pairs).
+
+All five are declared queries WITH oracles: the hash family
+(functions/hashing.py) is computable identically in DuckDB, so even the
+probabilistic pipelines are bit-reproducible cross-engine.
+
+Scale design: every pipeline is explode -> shuffle-on-key -> agg/join, no
+driver-side state. The LSH band join is the 100 TB path (candidates only,
+no O(n^2)); the plain Jaccard join exists as the exact baseline and for
+verification of LSH candidates. Skewed shingles (stop-shingles shared by
+half the corpus) are the known hazard — AQE skew-join handles moderate
+skew, and a production run would drop top-frequency shingles first (same
+idea as stopword removal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.functions.hashing import shared_hash, sql_shared_hash
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+#: MinHash parameters: k = NUM_BANDS * ROWS_PER_BAND signature length.
+#: With r=2, b=8: P(candidate | J) = 1-(1-J^2)^8 -> 0.9 at J=0.5.
+NUM_BANDS = 8
+ROWS_PER_BAND = 2
+NUM_HASHES = NUM_BANDS * ROWS_PER_BAND
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_WORDS = 3
+
+#: SimHash: 32-bit fingerprint, blocked on 4 x 8-bit chunks -> pairs with
+#: hamming distance <= 3 are guaranteed to share at least one chunk.
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = 3
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+# doc_id -> exploded DISTINCT 3-word shingles (rows: doc_id, shingle)
+_SHINGLES_SQL = f"""
+words AS (
+    SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+),
+shingles AS (
+    SELECT doc_id,
+           UNNEST(list_distinct(list_transform(
+               range(1, len(ws) - {SHINGLE_WORDS - 2}),
+               i -> array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' ')))) AS shingle
+    FROM words
+    WHERE len(ws) >= {SHINGLE_WORDS}
+)
+"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) with distinct 3-word shingles — DataFrame twin of
+    ``_SHINGLES_SQL``. Guard size>=3 BEFORE F.sequence: Spark's sequence
+    generates descending for start>stop instead of empty."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    docs = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= SHINGLE_WORDS)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (SHINGLE_WORDS - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, SHINGLE_WORDS)),
+        )
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+_JACCARD_PAIRS_SQL = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jaccard_pairs AS (
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)
+"""
+
+
+def jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """All-pairs shingle Jaccard from an exploded (doc_id, shingle) set —
+    DataFrame twin of ``_JACCARD_PAIRS_SQL``."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text)   AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact content dedup: hash-groupBy on md5(text), deterministic "
+    "survivor = min doc_id. One shuffle on the fingerprint; at 100 TB this "
+    "is the cheapest dedup and always runs first.",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard near-dup (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    {_JACCARD_PAIRS_SQL.strip()}
+    SELECT doc_a, doc_b, jaccard
+    FROM jaccard_pairs
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram (3-word shingle) Jaccard near-dup pairs: explode "
+    "distinct shingles, self-join on shingle, |A-and-B| / (|A|+|B|-|A-and-B|). "
+    "Exact but fan-out-bound — the MinHash variant is the scale path.",
+    tags=("dedup",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    return jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH near-dup (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id -> mh_0..mh_{k-1}: min over shingles of k seeded hashes.
+    One aggregation, k mins computed in the same pass."""
+    aggs = [
+        F.min(shared_hash(F.col("shingle"), f"mh{i}:")).alias(f"mh_{i}") for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (b bands x r rows), bucket-join per band, distinct
+    candidate pairs. Only same-bucket docs ever meet — no O(n^2)."""
+    bands = []
+    for band in range(NUM_BANDS):
+        cols = [F.col(f"mh_{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bands.append(
+            sig.select("doc_id", F.lit(band).alias("band"), key.alias("bucket"))
+        )
+    exploded = bands[0]
+    for bdf in bands[1:]:
+        exploded = exploded.unionByName(bdf)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN({sql_shared_hash('shingle', f'mh{i}:')}) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    band_rows = []
+    for band in range(NUM_BANDS):
+        cols = ", ".join(
+            f"CAST(mh_{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    bands = "\n        UNION ALL\n        ".join(band_rows)
+    return f"""
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    """
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    {_minhash_sql().strip()},
+    {_JACCARD_PAIRS_SQL.strip()}
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM candidates c
+    JOIN jaccard_pairs j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc=f"MinHash+LSH near-dup: {NUM_HASHES} seeded minhashes (shared md5 "
+    f"hash family -> bit-reproducible in the oracle), {NUM_BANDS} bands x "
+    f"{ROWS_PER_BAND} rows banding, bucket-join for candidates, exact-Jaccard "
+    "verification. At 100 TB only same-bucket pairs are compared — the "
+    "candidate set is linear-ish in corpus size instead of O(n^2). "
+    "Recall at J=0.5 is 1-(1-0.5^2)^8 = 0.90 by construction (candidates "
+    "only; verification removes false positives, identically cross-engine).",
+    tags=("dedup", "flagship"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    jp = jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return cand.join(jp, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql() -> str:
+    bit_votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * chunk_size}) & {(1 << chunk_size) - 1} AS chunk_val FROM sim"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+    tokens AS (
+        SELECT DISTINCT doc_id, UNNEST({_WORDS_SQL}) AS token FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+           {bit_votes}
+        FROM (SELECT doc_id, {sql_shared_hash('token')} AS h FROM tokens) t
+        GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, {assemble} AS simhash FROM votes),
+    chunks AS (
+        {chunk_rows}
+    )
+    """
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sql().strip()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    doc=f"SimHash near-dup: {SIMHASH_BITS}-bit fingerprint from per-token "
+    "bit votes, then pigeonhole blocking — a pair within hamming distance "
+    f"{HAMMING_MAX} must agree on at least one of {SIMHASH_CHUNKS} chunks, "
+    "so the join runs on chunk equality (linear-ish candidates), hamming "
+    "verified with bit_count(xor).",
+    tags=("dedup",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    tokens = docs.select("doc_id", F.explode(ws).alias("token")).distinct()
+    h = shared_hash(F.col("token"))
+    votes = tokens.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    sim = votes.select("doc_id", simhash.alias("simhash"))
+
+    chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_dfs = [
+        sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_size).bitwiseAND((1 << chunk_size) - 1).alias("chunk_val"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    chunks = chunk_dfs[0]
+    for cdf in chunk_dfs[1:]:
+        chunks = chunks.unionByName(cdf)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= HAMMING_MAX)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), hamming.alias("hamming"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 64
+COSINE_DUP_THRESHOLD = 0.8
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def spark_dot(a, b):
+    """Sequential double dot product — identical fold order to ``_sql_dot``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_dot('a.embedding', 'b.embedding')} AS dot,
+               SQRT({_sql_dot('a.embedding', 'a.embedding')}) AS na,
+               SQRT({_sql_dot('b.embedding', 'b.embedding')}) AS nb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dot / (na * nb) AS cosine
+    FROM pairs
+    WHERE dot / (na * nb) >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup, blocked on label (the pre-clustering "
+    "a production pipeline gets from IVF/LSH bucketing) so candidate pairs "
+    "are within-block instead of O(n^2). Dot products fold left-to-right "
+    "in double in both engines -> bit-identical cosines.",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = spark_dot(F.col("a.embedding"), F.col("b.embedding"))
+    na = F.sqrt(spark_dot(F.col("a.embedding"), F.col("a.embedding")))
+    nb = F.sqrt(spark_dot(F.col("b.embedding"), F.col("b.embedding")))
+    cosine = dot / (na * nb)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

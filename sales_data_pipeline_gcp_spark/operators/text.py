@@ -1,1 +1,241 @@
-"""Placeholder — filled in as operators land (SURVEY.md §7 phases)."""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.4):
+token counting, term statistics, quality scoring, language ID, and
+order-sensitive document fingerprinting. All five are oracled.
+
+Everything is built-in expressions (split/explode/regexp/aggregate) — no
+Python in the hot path; each doc is processed independently (narrow) until
+the final aggregation, so the pipelines scale linearly with corpus size.
+
+Honesty note: the fixture corpus uses one shared vocabulary for every
+``lang`` value, so language-ID *accuracy* is untestable here — what the
+oracle verifies is that the scoring mechanism is deterministic and
+identical cross-engine. The stopword profiles below are tiny on purpose;
+a production profile is a per-language table you'd broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.functions.hashing import shared_hash, sql_shared_hash
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "un"],
+}
+
+TOP_TERMS = 20
+
+#: rolling-hash parameters (token hash folded in document order)
+FP_TOKEN_MOD = 1_000_003
+FP_MULT = 31
+FP_MOD = 2_147_483_647
+
+
+def _words(col="text"):
+    return F.filter(F.split(F.col(col), " "), lambda w: w != F.lit(""))
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           lang,
+           len({_WORDS_SQL})                                   AS n_tokens,
+           len(list_distinct({_WORDS_SQL}))                    AS n_distinct,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))     AS n_bpeish,
+           n_chars
+    FROM documents
+    """,
+    doc="Token counting per document: whitespace tokens, distinct tokens, "
+    "and a BPE-ish regex segmentation (words + standalone punctuation) — "
+    "the standard pre-tokenizer shape.",
+    tags=("text",),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_words())).cast("long").alias("n_distinct"),
+        F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]")).cast("long").alias("n_bpeish"),
+        "n_chars",
+    )
+
+
+@register(
+    "q_text_termstats",
+    oracle=f"""
+    SELECT token,
+           COUNT(*)                 AS n_occurrences,
+           COUNT(DISTINCT doc_id)   AS n_docs
+    FROM (SELECT doc_id, UNNEST({_WORDS_SQL}) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {TOP_TERMS}
+    """,
+    doc="Corpus term statistics: explode tokens, count occurrences and "
+    "document frequency, top-N by frequency with deterministic tie-break. "
+    "Partial aggregation collapses each partition's counts before the "
+    "shuffle — vocabulary-sized exchange, not corpus-sized.",
+    tags=("text",),
+)
+def q_text_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_words()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(TOP_TERMS)
+    )
+
+
+_EN_LIST_SQL = "['" + "','".join(STOPWORDS["en"]) + "']"
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, n_chars, {_WORDS_SQL} AS ws FROM documents)
+    SELECT doc_id,
+           n_chars,
+           len(ws) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(ws)                          AS avg_token_len,
+           CAST(len(list_filter(ws, t -> list_contains({_EN_LIST_SQL}, t))) AS DOUBLE)
+             / len(ws)                                                AS stopword_ratio,
+           CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)           AS distinct_ratio,
+           (len(ws) BETWEEN 20 AND 1000)
+             AND (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.1)  AS keep
+    FROM w
+    WHERE len(ws) > 0
+    """,
+    doc="Quality scoring per document: length, average token length, "
+    "stopword ratio, lexical diversity (distinct ratio), and a boolean "
+    "keep-gate — the standard cheap quality filter before expensive "
+    "pipeline stages.",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", _words().alias("ws"))
+    d = d.filter(F.size("ws") > 0)
+    n_tokens = F.size("ws").cast("long")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(F.col("ws"), lambda t: F.array_contains(stop_lit, t)))
+    n_distinct = F.size(F.array_distinct(F.col("ws")))
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (((n_tokens >= 20) & (n_tokens <= 1000)) & (distinct_ratio > 0.1)).alias("keep"),
+    )
+
+
+def _langid_sql() -> str:
+    ratio_cols = []
+    for lang, words in STOPWORDS.items():
+        lst = "['" + "','".join(words) + "']"
+        ratio_cols.append(
+            f"CAST(len(list_filter(ws, t -> list_contains({lst}, t))) AS DOUBLE) / len(ws) AS r_{lang}"
+        )
+    ratios = ",\n           ".join(ratio_cols)
+    # deterministic argmax: fixed evaluation order, strict > for later langs
+    return f"""
+    w AS (SELECT doc_id, lang AS lang_label, {_WORDS_SQL} AS ws FROM documents),
+    scored AS (
+        SELECT doc_id, lang_label,
+           {ratios}
+        FROM w WHERE len(ws) > 0
+    )
+    """
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH {_langid_sql().strip()}
+    SELECT doc_id, lang_label, r_en, r_de, r_fr,
+           CASE
+             WHEN GREATEST(r_en, r_de, r_fr) < 0.01 THEN 'und'
+             WHEN r_en >= r_de AND r_en >= r_fr THEN 'en'
+             WHEN r_de >= r_fr THEN 'de'
+             ELSE 'fr'
+           END AS predicted
+    FROM scored
+    """,
+    doc="Stopword-profile language ID: per-language stopword hit-ratio, "
+    "deterministic argmax with fixed precedence, 'und' below a floor. "
+    "(Fixture corpus is same-vocab across langs — mechanism, not accuracy, "
+    "is what's verifiable here.)",
+    tags=("text",),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_label"), _words().alias("ws")
+    )
+    d = d.filter(F.size("ws") > 0)
+    n = F.size("ws").cast("double")
+    ratios = {}
+    for lang, words in STOPWORDS.items():
+        lst = F.array(*[F.lit(s) for s in words])
+        ratios[lang] = (
+            F.size(F.filter(F.col("ws"), lambda t: F.array_contains(lst, t))).cast("double") / n
+        )
+    predicted = (
+        F.when(F.greatest(ratios["en"], ratios["de"], ratios["fr"]) < 0.01, F.lit("und"))
+        .when((ratios["en"] >= ratios["de"]) & (ratios["en"] >= ratios["fr"]), F.lit("en"))
+        .when(ratios["de"] >= ratios["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        "lang_label",
+        ratios["en"].alias("r_en"),
+        ratios["de"].alias("r_de"),
+        ratios["fr"].alias("r_fr"),
+        predicted.alias("predicted"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_transform({_WORDS_SQL},
+                   t -> {sql_shared_hash('t')} % {FP_TOKEN_MOD}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(hs, (a, b) -> (a * {FP_MULT} + b) % {FP_MOD}) AS fingerprint
+    FROM w
+    WHERE len(hs) > 0
+    """,
+    doc="Order-sensitive document fingerprint: polynomial rolling hash over "
+    "the token-hash sequence (acc*31 + h mod p). Unlike md5(text), it's "
+    "computed from the token stream so it survives whitespace "
+    "normalization; unlike minhash it is order-sensitive.",
+    tags=("text",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hs = F.transform(_words(), lambda t: shared_hash(t) % FP_TOKEN_MOD)
+    d = d.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
+    # DuckDB list_reduce seeds with the first element; mirror that exactly.
+    fp = F.aggregate(
+        F.slice(F.col("hs"), 2, F.size("hs") - 1),
+        F.element_at(F.col("hs"), 1),
+        lambda acc, h: (acc * FP_MULT + h) % FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
