@@ -31,7 +31,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 #: nanoseconds per time unit, for deriving µs/seconds from raw int64-nanos.
-NS_PER_US = 1_000_000
+NS_PER_US = 1_000
 NS_PER_SECOND = 1_000_000_000
 
 

@@ -1,1 +1,133 @@
-"""Placeholder — filled in as operators land (SURVEY.md §7 phases)."""
+"""Declared queries for the streaming surface (SURVEY.md §7 Phase 4).
+
+The window transforms live in ``streaming/windows.py`` and are shared
+verbatim between batch and streaming execution; here they run in batch mode
+against the events table so the driver can oracle them (DuckDB expresses
+tumble/slide as epoch-bucket arithmetic and sessions as gaps-and-islands).
+tests/test_streaming.py additionally runs them as real streams
+(readStream + watermark + AvailableNow) and asserts batch-equivalence, plus
+exactly-once for the file-ingest pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sales_data_pipeline_gcp_spark.io import NS_PER_SECOND, load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+from sales_data_pipeline_gcp_spark.streaming.windows import (
+    SESSION_GAP_MINUTES,
+    SLIDE_STEP_MINUTES,
+    SLIDE_WINDOW_MINUTES,
+    TUMBLE_MINUTES,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_TUMBLE_SEC = TUMBLE_MINUTES * 60
+_SLIDE_W_SEC = SLIDE_WINDOW_MINUTES * 60
+_SLIDE_S_SEC = SLIDE_STEP_MINUTES * 60
+_GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // {_TUMBLE_SEC * NS_PER_SECOND}) * {_TUMBLE_SEC} AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=f"{TUMBLE_MINUTES}-minute tumbling event-time window per event_type "
+    "(same transform runs streaming with a watermark; batch here for the "
+    "oracle). Window starts emitted as epoch seconds — ns-vs-µs and "
+    "timezone proof.",
+    tags=("streaming",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH hops AS (
+        SELECT ((epoch_ns(ts) // {_SLIDE_S_SEC * NS_PER_SECOND}) - k) * {_SLIDE_S_SEC} AS bucket_start,
+               event_type
+        FROM events, UNNEST(range({_SLIDE_W_SEC // _SLIDE_S_SEC})) AS t(k)
+    )
+    SELECT bucket_start, event_type, COUNT(*) AS n_events
+    FROM hops
+    GROUP BY bucket_start, event_type
+    """,
+    doc=f"Sliding window ({SLIDE_WINDOW_MINUTES}m window / "
+    f"{SLIDE_STEP_MINUTES}m hop): each event contributes to window/hop "
+    "buckets. Spark expands via F.window; the oracle via explicit hop "
+    "arithmetic.",
+    tags=("streaming",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+    ), d AS (
+        SELECT user_id, us, value,
+               CASE WHEN LAG(us) OVER w IS NULL
+                      OR us - LAG(us) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), s AS (
+        SELECT user_id, us, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    )
+    SELECT user_id,
+           MIN(us) // 1000000 AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc=f"Session windows per user ({SESSION_GAP_MINUTES}m gap) via Spark's "
+    "native session_window (streaming-capable); the oracle is the classic "
+    "gaps-and-islands lag/cumsum formulation.",
+    tags=("streaming",),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_ingest",
+    oracle=None,  # end-to-end streaming pipeline; exactly-once gated in tests
+    doc="The reference pipeline end-to-end as a stream: drop simulator CSVs "
+    "into a watched dir, AvailableNow micro-batch runs the cleaning "
+    "pipeline, checkpointed parquet append (exactly-once upgrade over the "
+    "reference's at-least-once, SURVEY.md §2.2.6). Returns the sink table.",
+    tags=("streaming",),
+)
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.sources.sales import generate_rows, write_csv
+    from sales_data_pipeline_gcp_spark.streaming.ingest import ingest_sales_stream
+
+    base = tempfile.mkdtemp(prefix="ingest_demo_")
+    raw = os.path.join(base, "raw")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(raw)
+    for i, n in enumerate((40, 60)):
+        write_csv(os.path.join(raw, f"sales_{i}.csv"), generate_rows(n, seed=100 + i))
+    ingest_sales_stream(spark, raw, out, ckpt, audit=False).awaitTermination()
+    return spark.read.parquet(out)

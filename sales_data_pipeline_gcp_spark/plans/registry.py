@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.similarity",
         "sales_data_pipeline_gcp_spark.operators.text",
         "sales_data_pipeline_gcp_spark.operators.streaming_queries",
+        "sales_data_pipeline_gcp_spark.operators.multimodal",
     ):
         importlib.import_module(mod)
 

@@ -1,0 +1,90 @@
+"""Streaming tests (SURVEY.md §5.2 item 4):
+
+1. file-drop ingest via AvailableNow == batch cleaning of the same rows;
+2. exactly-once: re-running the query over the same checkpoint adds nothing
+   (upgrade over the reference's at-least-once, SURVEY.md §2.2.6);
+3. incremental: only NEW files are processed by a later trigger;
+4. windowed aggregation batch-equivalence: the same transform produces
+   identical results via readStream as via batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.cleaning import clean_sales
+from sales_data_pipeline_gcp_spark.io import NS_PER_US, load
+from sales_data_pipeline_gcp_spark.sources.sales import as_dataframe, generate_rows, write_csv
+from sales_data_pipeline_gcp_spark.streaming.ingest import ingest_sales_stream
+from sales_data_pipeline_gcp_spark.streaming.windows import tumbling_counts
+
+
+def _setup_dirs(tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    return str(raw), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def _rows_set(df):
+    return {(r.product, r.price, r.quantity, r.total) for r in df.collect()}
+
+
+def test_ingest_matches_batch_and_exactly_once(spark, tmp_path):
+    raw, out, ckpt = _setup_dirs(tmp_path)
+    rows = generate_rows(50, seed=11) + generate_rows(30, seed=12)
+    write_csv(os.path.join(raw, "sales_a.csv"), rows[:50])
+    write_csv(os.path.join(raw, "sales_b.csv"), rows[50:])
+    # routing predicate: non-matching files are ignored (≙ main.py:21-23)
+    with open(os.path.join(raw, "notes.txt"), "w") as f:
+        f.write("not a csv")
+
+    ingest_sales_stream(spark, raw, out, ckpt, audit=False).awaitTermination()
+    got = spark.read.parquet(out)
+    expected = clean_sales(as_dataframe(spark, rows), audit=False)
+    assert _rows_set(got) == _rows_set(expected)
+    n_first = got.count()
+
+    # exactly-once: same files, same checkpoint -> no duplicates
+    ingest_sales_stream(spark, raw, out, ckpt, audit=False).awaitTermination()
+    assert spark.read.parquet(out).count() == n_first
+
+    # incremental: a NEW file is picked up, exactly once
+    extra = generate_rows(20, seed=13)
+    write_csv(os.path.join(raw, "sales_c.csv"), extra)
+    ingest_sales_stream(spark, raw, out, ckpt, audit=False).awaitTermination()
+    got2 = spark.read.parquet(out)
+    expected2 = clean_sales(as_dataframe(spark, rows + extra), audit=False)
+    assert _rows_set(got2) == _rows_set(expected2)
+    assert got2.count() == n_first + clean_sales(as_dataframe(spark, extra), audit=False).count()
+
+
+def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path):
+    # materialize events (ts as µs TimestampType) to parquet for readStream
+    src = str(tmp_path / "events_parquet")
+    ev = load(spark, sf_dir, "events").select("ts_us", "event_type", "value")
+    ev.write.parquet(src)
+
+    batch_result = tumbling_counts(ev)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withWatermark("ts_us", "10 minutes")
+    )
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_result = spark.sql("SELECT * FROM tumbling_out")
+
+    key = lambda r: (r.bucket_start, r.event_type)
+    b = {key(r): (r.n_events, r.sum_value) for r in batch_result.collect()}
+    s = {key(r): (r.n_events, r.sum_value) for r in stream_result.collect()}
+    assert b == s
