@@ -184,26 +184,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id -> mh_0..mh_{k-1}: min over shingles of k seeded hashes.
-    One aggregation, k mins computed in the same pass."""
-    aggs = [
-        F.min(shared_hash(F.col("shingle"), f"mh{i}:")).alias(f"mh_{i}") for i in range(NUM_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+    The k md5-based hashes are computed once per DISTINCT shingle
+    (dictionary-encoding the hash) and broadcast-joined back to the
+    occurrences — at corpus scale the distinct-shingle dimension is orders
+    of magnitude smaller than the occurrence stream, so this trades ~24M
+    hash evaluations for one small join. One aggregation computes all k
+    mins in the same pass."""
+    hashes = sh.select("shingle").distinct().select(
+        "shingle",
+        *[shared_hash(F.col("shingle"), f"mh{i}:").alias(f"h_{i}") for i in range(NUM_HASHES)],
+    )
+    joined = sh.join(F.broadcast(hashes), "shingle")
+    aggs = [F.min(F.col(f"h_{i}")).alias(f"mh_{i}") for i in range(NUM_HASHES)]
+    return joined.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signature (b bands x r rows), bucket-join per band, distinct
-    candidate pairs. Only same-bucket docs ever meet — no O(n^2)."""
-    bands = []
+    candidate pairs. Only same-bucket docs ever meet — no O(n^2).
+
+    Banding is ONE posexplode over an array of bucket keys, not a b-way
+    union: a union re-executes the whole signature pipeline once per band
+    (Spark does no cross-branch subtree reuse), an explode scans it once."""
+    keys = []
     for band in range(NUM_BANDS):
         cols = [F.col(f"mh_{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        bands.append(
-            sig.select("doc_id", F.lit(band).alias("band"), key.alias("bucket"))
-        )
-    exploded = bands[0]
-    for bdf in bands[1:]:
-        exploded = exploded.unionByName(bdf)
+        keys.append(F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])))
+    exploded = sig.select("doc_id", F.posexplode(F.array(*keys)).alias("band", "bucket"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -248,6 +256,34 @@ def _minhash_sql() -> str:
     """
 
 
+def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs — the LSH contract:
+    all-pairs verification never happens; the shingle join is restricted to
+    the (small) candidate set first."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 @register(
     "q_dedup_minhash",
     oracle=f"""
@@ -272,8 +308,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
     sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig)
-    jp = jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    return cand.join(jp, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    return verify_jaccard(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -332,8 +367,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     tokens = docs.select("doc_id", F.explode(ws).alias("token")).distinct()
-    h = shared_hash(F.col("token"))
-    votes = tokens.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+    # dictionary-encode the hash: one md5 per distinct token, broadcast back
+    tok_hash = tokens.select("token").distinct().select("token", shared_hash(F.col("token")).alias("h"))
+    votes = tokens.join(F.broadcast(tok_hash), "token").select("doc_id", "h").groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -348,18 +384,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = votes.select("doc_id", simhash.alias("simhash"))
 
     chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunk_dfs = [
-        sim.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * chunk_size).bitwiseAND((1 << chunk_size) - 1).alias("chunk_val"),
-        )
-        for c in range(SIMHASH_CHUNKS)
-    ]
-    chunks = chunk_dfs[0]
-    for cdf in chunk_dfs[1:]:
-        chunks = chunks.unionByName(cdf)
+    # one posexplode pass over all chunks (see lsh_candidate_pairs)
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * chunk_size).bitwiseAND((1 << chunk_size) - 1)
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = sim.select("doc_id", "simhash", F.posexplode(chunk_vals).alias("chunk", "chunk_val"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -422,13 +454,15 @@ def spark_dot(a, b):
     tags=("dedup", "similarity"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # norms are computed ONCE per vector before the self-join (the oracle
+    # recomputes them per pair — identical doubles, 2x fewer dot products)
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "norm", F.sqrt(spark_dot(F.col("embedding"), F.col("embedding")))
+    )
     a = e.alias("a")
     b = e.alias("b")
     dot = spark_dot(F.col("a.embedding"), F.col("b.embedding"))
-    na = F.sqrt(spark_dot(F.col("a.embedding"), F.col("a.embedding")))
-    nb = F.sqrt(spark_dot(F.col("b.embedding"), F.col("b.embedding")))
-    cosine = dot / (na * nb)
+    cosine = dot / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
