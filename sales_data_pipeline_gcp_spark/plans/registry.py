@@ -64,6 +64,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.text",
         "sales_data_pipeline_gcp_spark.operators.streaming_queries",
         "sales_data_pipeline_gcp_spark.operators.multimodal",
+        "sales_data_pipeline_gcp_spark.operators.source_queries",
     ):
         importlib.import_module(mod)
 

