@@ -1,0 +1,129 @@
+"""As-of join — an operator Spark lacks natively (SURVEY.md §2.4 custom
+operators; guide "Common OLAP patterns").
+
+Implementation is the scale-correct composition (NOT ``pd.merge_asof`` in a
+grouped map, which would pull each group into Python): tag both sides, union
+them, and take a running ``last(right_value, ignorenulls=True)`` over a
+window ordered by (time, side). One shuffle on the join key, no Python, no
+per-group memory blowup; AQE handles skewed keys.
+
+The DuckDB oracle uses its NATIVE ``ASOF LEFT JOIN`` — the engines agree on
+semantics through entirely independent implementations, which is the
+strongest parity evidence in the suite.
+
+Demo query: purchase→view attribution over the events table — for every
+``purchase`` event, the most recent prior ``view`` by the same user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import NS_PER_SECOND, load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time <= left_time`` within the same ``on`` key (NULLs when no
+    such row). ``right`` must be unique per (on, right_time) — dedup first
+    for determinism.
+    """
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__t", F.col(left_time))
+    r_tagged = (
+        right.withColumn("__side", F.lit(0))
+        .withColumn("__t", F.col(right_time))
+        .select(on, "__side", "__t", *right_cols)
+    )
+    l_cols = [c for c in l_tagged.columns if c not in ("__side", "__t")]
+    unioned = l_tagged.select(
+        on,
+        "__side",
+        "__t",
+        *[F.col(c) for c in l_cols if c != on],
+        *[F.lit(None).cast(r_tagged.schema[c].dataType).alias(c) for c in right_cols],
+    ).unionByName(
+        r_tagged.select(
+            on,
+            "__side",
+            "__t",
+            *[F.lit(None).cast(l_tagged.schema[c].dataType).alias(c) for c in l_cols if c != on],
+            *right_cols,
+        )
+    )
+    # right rows sort before left rows at equal time -> `<=` semantics
+    w = W.partitionBy(on).orderBy("__t", "__side").rowsBetween(W.unboundedPreceding, W.currentRow)
+    filled = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols]
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .drop(*right_cols, "__side", "__t")
+        .select(
+            *[F.col(c) for c in l_cols],
+            *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tns
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, epoch_ns(ts) AS tns, MAX(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_ns(ts)
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.tns // {NS_PER_SECOND}                          AS purchase_sec,
+           v.view_event_id                                   AS attributed_view,
+           (p.tns - v.tns) // {NS_PER_SECOND}                AS gap_sec
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.tns >= v.tns
+    """,
+    doc="As-of join (purchase -> most recent prior view per user): Spark "
+    "side is the union+window composition in operators/asof.py (one "
+    "shuffle, no Python); the oracle is DuckDB's NATIVE ASOF LEFT JOIN — "
+    "independent implementations, same semantics.",
+    tags=("join", "asof", "flagship"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("tns")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vtns"))
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("view_tns", F.col("vtns"))
+        .drop("vtns")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="tns",
+        right_time="view_tns",
+        right_cols=["view_event_id", "view_tns"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr(f"tns div {NS_PER_SECOND}").alias("purchase_sec"),
+        F.col("view_event_id").alias("attributed_view"),
+        F.expr(f"(tns - view_tns) div {NS_PER_SECOND}").alias("gap_sec"),
+    )

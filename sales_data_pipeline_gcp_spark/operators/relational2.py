@@ -1,0 +1,178 @@
+"""Relational surface, part 2: full outer join, explicit GROUPING SETS with
+grouping_id, pivot/unpivot, exact percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_sum
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+
+@register(
+    "q_join_full",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+               {sql_sum('c_acctbal', 2)} AS cust_balance
+        FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey
+    ), s AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+               {sql_sum('s_acctbal', 2)} AS supp_balance
+        FROM supplier WHERE s_nationkey >= 5 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           cust_balance,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           supp_balance
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="Full outer join with left-only, overlapping, and right-only key "
+    "ranges; aggregate-before-join on both sides.",
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"), exact_sum("c_acctbal", 2).alias("cust_balance"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 5)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"), exact_sum("s_acctbal", 2).alias("supp_balance"))
+    )
+    return (
+        c.join(s, "nationkey", "full")  # USING-join coalesces the key
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            "cust_balance",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            "supp_balance",
+        )
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+           l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_sum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping_id disambiguating subtotal "
+    "rows from genuine NULL keys — single Expand+HashAggregate pass.",
+    tags=("agg",),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_items"),
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "n_items", "sum_qty")
+    )
+
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {', '.join(
+               f"SUM(CASE WHEN o_orderstatus = '{s}' THEN CAST(o_totalprice AS DECIMAL(38,2)) END)::DOUBLE AS status_{s}"
+               for s in _STATUSES
+           )}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot (long->wide): order revenue by priority x status. Explicit "
+    "pivot values — at scale, value discovery is a separate job you never "
+    "run implicitly.",
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(exact_sum("o_totalprice", 2))
+    )
+    return wide.select(
+        "o_orderpriority", *[F.col(s).alias(f"status_{s}") for s in _STATUSES]
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ) u
+    """,
+    doc="Unpivot (wide->long) of the monetary columns via DataFrame.unpivot "
+    "(Expand node — one pass, no join).",
+    tags=("pivot",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolation percentiles per group (Spark percentile "
+    "== DuckDB quantile_cont semantics). The approx_percentile variant is "
+    "the scale path for heavy groups; exact is fine per-group here because "
+    "groups are few.",
+    tags=("agg",),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    )

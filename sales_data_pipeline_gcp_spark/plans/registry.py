@@ -65,6 +65,8 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.streaming_queries",
         "sales_data_pipeline_gcp_spark.operators.multimodal",
         "sales_data_pipeline_gcp_spark.operators.source_queries",
+        "sales_data_pipeline_gcp_spark.operators.asof",
+        "sales_data_pipeline_gcp_spark.operators.relational2",
     ):
         importlib.import_module(mod)
 
