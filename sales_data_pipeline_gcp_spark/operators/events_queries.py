@@ -1,0 +1,96 @@
+"""Event-analytics operators over the events table: funnel conversion and
+per-user activity rates. Complements the window queries in
+``streaming_queries.py`` with the join-back shapes funnels need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import NS_PER_SECOND, load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+
+@register(
+    "q_funnel",
+    oracle=f"""
+    WITH first_view AS (
+        SELECT user_id, MIN(epoch_ns(ts)) AS v_ns
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), first_purchase_after AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ns
+        FROM events e JOIN first_view f
+          ON e.user_id = f.user_id AND epoch_ns(e.ts) >= f.v_ns
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT f.user_id,
+           f.v_ns // {NS_PER_SECOND} AS first_view_sec,
+           p.p_ns // {NS_PER_SECOND} AS first_purchase_sec,
+           p.p_ns IS NOT NULL        AS converted,
+           (p.p_ns - f.v_ns) // {NS_PER_SECOND} AS secs_to_convert
+    FROM first_view f LEFT JOIN first_purchase_after p ON f.user_id = p.user_id
+    """,
+    doc="Two-step funnel (view -> purchase): first view per user, then the "
+    "first purchase at-or-after it, conversion flag and latency. Both steps "
+    "are aggregate-then-join — each shuffles one row per user, never the "
+    "event stream twice.",
+    tags=("events",),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ns"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"))
+    first_purchase = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("p_ts") >= F.col("v_ns"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("p_ns"))
+    )
+    return (
+        first_view.join(first_purchase, "user_id", "left")
+        .select(
+            "user_id",
+            F.expr(f"v_ns div {NS_PER_SECOND}").alias("first_view_sec"),
+            F.expr(f"p_ns div {NS_PER_SECOND}").alias("first_purchase_sec"),
+            F.col("p_ns").isNotNull().alias("converted"),
+            F.expr(f"(p_ns - v_ns) div {NS_PER_SECOND}").alias("secs_to_convert"),
+        )
+    )
+
+
+@register(
+    "q_event_rates",
+    oracle=f"""
+    SELECT user_id,
+           epoch_ns(ts) // {NS_PER_SECOND * 86400} AS day_bucket,
+           COUNT(*)                                AS n_events,
+           COUNT(DISTINCT event_type)              AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Per-user daily activity: events, distinct types, exact value sum "
+    "per (user, day) — the classic engagement rollup.",
+    tags=("events",),
+)
+def q_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.functions.exact import exact_sum
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.expr(f"ts div {NS_PER_SECOND * 86400}").alias("day_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            exact_sum("value", 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Grouped-map Pandas UDF surface (SURVEY.md §2.5): ``applyInPandas`` for
+per-group model fitting that built-in aggregates can't express directly.
+
+Demo operator: per-customer spend trend — ordinary-least-squares slope of
+order totals (in cents) over order date (in days). The UDF works in exact
+integer sums (numpy int64), so the closed-form slope
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+is computed from identical integers in both engines and the final double
+division is bit-identical — which is how a Python-side grouped map can be
+held to a SQL oracle.
+
+Scale note: applyInPandas shuffles once on the group key and holds ONE
+group per Arrow batch in memory — fine for per-customer groups (tens of
+rows); for mega-groups you'd pre-aggregate the five sums with built-ins and
+skip Python entirely (that variant is exactly the oracle SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+US_PER_DAY = 86_400_000_000
+
+TREND_SCHEMA = "o_custkey bigint, n_orders bigint, slope_cents_per_day double"
+
+
+def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    x = (pdf["o_orderdate"].astype("datetime64[us]").astype("int64") // US_PER_DAY).to_numpy()
+    y = (pdf["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    n = len(pdf)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    denom = n * sxx - sx * sx
+    slope = float(n * sxy - sx * sy) / float(denom) if denom != 0 else None
+    return pd.DataFrame(
+        {"o_custkey": [pdf["o_custkey"].iloc[0]], "n_orders": [n], "slope_cents_per_day": [slope]}
+    )
+
+
+def spend_trend(orders: DataFrame) -> DataFrame:
+    return orders.groupBy("o_custkey").applyInPandas(_fit_group, schema=TREND_SCHEMA)
+
+
+@register(
+    "q_grouped_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey,
+               epoch(o_orderdate) // 86400                  AS x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)    AS y
+        FROM orders
+    ), sums AS (
+        SELECT o_custkey,
+               COUNT(*)                 AS n,
+               CAST(SUM(x) AS BIGINT)   AS sx,
+               CAST(SUM(y) AS BIGINT)   AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           n AS n_orders,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_day
+    FROM sums
+    """,
+    doc="Grouped-map Pandas UDF (applyInPandas): per-customer OLS spend "
+    "trend in exact integer arithmetic; the oracle is the closed-form SQL "
+    "— Python batch path held to declarative semantics bit-for-bit.",
+    tags=("udf", "grouped"),
+)
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spend_trend(load(spark, sf_dir, "orders"))

@@ -1,0 +1,76 @@
+"""MERGE / upsert emulation (guide "CDC / SCD2": no Delta in this
+environment, so MERGE INTO is composed from anti-join + union — the
+standard emulation on plain parquet).
+
+``merge_upsert`` is the operator; ``q_merge_upsert`` demonstrates it with a
+deterministic updates stream derived from orders (each customer's latest
+order re-prices their account balance) against the customer dimension.
+
+Scale: both sides shuffle once on the key; with bucketed tables the
+anti-join is shuffle-free. SCD2 (history-keeping) is the same shape with
+``valid_from``/``valid_to`` stamping instead of dropping the old row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.operators.core import dedup_by_key
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE: rows of ``target`` whose key has an update are replaced by the
+    update row; unmatched updates are inserted; everything else survives.
+    ``updates`` must be unique per key and share the target schema."""
+    untouched = target.join(updates, key, "left_anti")
+    return untouched.unionByName(updates)
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH latest_order AS (
+        SELECT o_custkey, o_totalprice, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ), updates AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               l.o_totalprice - 100.0 AS c_acctbal,
+               'UPDATED' AS c_mktsegment
+        FROM customer c JOIN latest_order l
+          ON c.c_custkey = l.o_custkey AND l.rn = 1
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM updates
+    """,
+    doc="MERGE/upsert emulation (anti-join + union) on plain parquet: the "
+    "customer dimension absorbs a CDC-style updates stream (deterministic: "
+    "latest order per customer re-prices the balance, exact-arithmetic update rule (cross-engine round() at half-cent boundaries diverges)). Customers without "
+    "orders pass through untouched.",
+    tags=("merge",),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    latest = dedup_by_key(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    updates = (
+        cust.join(latest, cust.c_custkey == latest.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("o_totalprice") - 100.0).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+    )
+    return merge_upsert(cust, updates, "c_custkey")

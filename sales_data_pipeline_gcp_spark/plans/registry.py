@@ -67,6 +67,10 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.source_queries",
         "sales_data_pipeline_gcp_spark.operators.asof",
         "sales_data_pipeline_gcp_spark.operators.relational2",
+        "sales_data_pipeline_gcp_spark.operators.skew",
+        "sales_data_pipeline_gcp_spark.operators.grouped",
+        "sales_data_pipeline_gcp_spark.operators.events_queries",
+        "sales_data_pipeline_gcp_spark.operators.merge",
     ):
         importlib.import_module(mod)
 
