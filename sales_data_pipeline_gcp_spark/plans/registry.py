@@ -71,6 +71,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.grouped",
         "sales_data_pipeline_gcp_spark.operators.events_queries",
         "sales_data_pipeline_gcp_spark.operators.merge",
+        "sales_data_pipeline_gcp_spark.operators.subqueries",
     ):
         importlib.import_module(mod)
 
