@@ -105,10 +105,17 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "approx"),
 )
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch aggs and exact aggs are SEPARATE aggregations joined on the
+    # group key: mixing object-backed sketches (HLL, KLL) with expanded
+    # COUNT(DISTINCT) in one agg forces a sort-based object-aggregate
+    # fallback that is ~30x slower; two hash aggs + a 3-row join is free
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
     )
+    return approx.join(exact, "l_returnflag")
