@@ -1,0 +1,123 @@
+"""Flagship end-to-end corpus-preparation pipeline — the composition the
+whole extension surface exists for (SURVEY.md §2.4): quality-gate ->
+exact dedup -> MinHash-LSH near-dup removal -> clean corpus.
+
+Every stage is one of the engine's declared operators re-used as a library
+function, and the WHOLE chain is oracled: the DuckDB SQL replays the same
+quality thresholds, the same md5 exact-dedup survivor rule, the same seeded
+minhash/banding candidates, and the same canonical-survivor rule
+(drop the higher doc_id of every verified near-dup pair).
+
+Scale: the chain is narrow until the exact-dedup shuffle; LSH keeps the
+near-dup stage linear-ish; each stage strictly shrinks the corpus so later
+(more expensive) stages see less data — the canonical funnel ordering for
+100 TB corpus builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _minhash_sql,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_from,
+    verify_jaccard,
+)
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+MIN_TOKENS = 20
+MAX_TOKENS = 1000
+MIN_DISTINCT_RATIO = 0.1
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """The q_text_quality keep-gate as a filter stage."""
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    d = docs.withColumn("ws", ws).filter(F.size("ws") > 0)
+    n = F.size("ws")
+    distinct_ratio = F.size(F.array_distinct(F.col("ws"))).cast("double") / n
+    return (
+        d.filter((n >= MIN_TOKENS) & (n <= MAX_TOKENS) & (distinct_ratio > MIN_DISTINCT_RATIO))
+        .withColumn("n_tokens", n.cast("long"))
+        .drop("ws")
+    )
+
+
+def exact_dedup_docs(docs: DataFrame) -> DataFrame:
+    """Keep the min-doc_id survivor of every identical text."""
+    keep = docs.groupBy(F.md5("text").alias("__fp")).agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def near_dedup_docs(docs: DataFrame) -> DataFrame:
+    """Remove the higher doc_id of every verified near-dup pair
+    (MinHash-LSH candidates, exact-Jaccard verified)."""
+    sh = shingles_from(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    dups = (
+        verify_jaccard(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(dups, "doc_id", "left_anti")
+
+
+@register(
+    "q_corpus_prepare",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, lang, text, len(ws) AS n_tokens
+        FROM w
+        WHERE len(ws) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+          AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > {MIN_DISTINCT_RATIO}
+    ), survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ), qq AS (
+        SELECT q.* FROM quality q JOIN survivors USING (doc_id)
+    ), words AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM qq
+    ), shingles AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+        FROM words WHERE len(ws) >= 3
+    ),
+    {_minhash_sql().strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM candidates c
+        JOIN shingles a ON c.doc_a = a.doc_id
+        JOIN shingles b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ), removed AS (
+        SELECT DISTINCT i.doc_b AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM qq
+    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+    """,
+    doc="End-to-end corpus preparation: quality gate -> exact dedup (md5, "
+    "min-id survivor) -> MinHash-LSH near-dup removal (drop higher id of "
+    "each verified pair). The full funnel, fully oracled.",
+    tags=("dedup", "text", "flagship"),
+)
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = near_dedup_docs(exact_dedup_docs(quality_gate(docs)))
+    return corpus.select("doc_id", "lang", "n_tokens")

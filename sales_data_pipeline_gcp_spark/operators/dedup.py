@@ -66,11 +66,11 @@ shingles AS (
 """
 
 
-def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) with distinct 3-word shingles — DataFrame twin of
-    ``_SHINGLES_SQL``. Guard size>=3 BEFORE F.sequence: Spark's sequence
-    generates descending for start>stop instead of empty."""
-    docs = load(spark, sf_dir, "documents")
+def shingles_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with distinct 3-word shingles from any DataFrame
+    with (doc_id, text) — DataFrame twin of ``_SHINGLES_SQL``. Guard
+    size>=3 BEFORE F.sequence: Spark's sequence generates descending for
+    start>stop instead of empty."""
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     docs = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= SHINGLE_WORDS)
     shingles = F.array_distinct(
@@ -80,6 +80,10 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_from(load(spark, sf_dir, "documents"))
 
 
 _JACCARD_PAIRS_SQL = f"""

@@ -72,6 +72,8 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.events_queries",
         "sales_data_pipeline_gcp_spark.operators.merge",
         "sales_data_pipeline_gcp_spark.operators.subqueries",
+        "sales_data_pipeline_gcp_spark.operators.sampling",
+        "sales_data_pipeline_gcp_spark.operators.corpus",
     ):
         importlib.import_module(mod)
 
