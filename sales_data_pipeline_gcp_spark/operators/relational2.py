@@ -176,3 +176,35 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
         F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
     )
+
+
+@register(
+    "q_window_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS n_similar,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_below
+    FROM orders
+    """,
+    doc="RANGE frames (value-based, vs the ROWS frames in q_window_frame): "
+    "peers are defined by order-value distance, so tied values share frame "
+    "results — no tie-break needed for determinism.",
+    tags=("window",),
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w_sym = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-5000, 5000)
+    w_below = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-5000, W.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(38,2)")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w_sym).alias("n_similar"),
+        F.sum(dec).over(w_below).cast("double").alias("cum_below"),
+    )
