@@ -74,6 +74,8 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.subqueries",
         "sales_data_pipeline_gcp_spark.operators.sampling",
         "sales_data_pipeline_gcp_spark.operators.corpus",
+        "sales_data_pipeline_gcp_spark.operators.tpch",
+        "sales_data_pipeline_gcp_spark.operators.components",
     ):
         importlib.import_module(mod)
 
