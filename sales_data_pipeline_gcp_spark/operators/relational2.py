@@ -208,3 +208,56 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_sym).alias("n_similar"),
         F.sum(dec).over(w_below).cast("double").alias("cum_below"),
     )
+
+
+@register(
+    "q_join_right",
+    oracle=f"""
+    SELECT c_custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(spend, 0.0)  AS spend
+    FROM (
+        SELECT o_custkey, COUNT(*) AS n_orders, {sql_sum('o_totalprice', 2)} AS spend
+        FROM orders GROUP BY o_custkey
+    ) agg
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Right outer join (mirror of q_join_outer's left form — the "
+    "preserved side is the right/customer side).",
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice", 2).alias("spend"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    return per_cust.join(cust, per_cust.o_custkey == cust.c_custkey, "right").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )
+
+
+@register(
+    "q_map_functions",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)                                   AS prop_keys,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)  AS k_val,
+           1                                                   AS n_props
+    FROM events
+    """,
+    doc="Map surface: from_json -> MapType, map_keys / element_at / size. "
+    "(Fixture props have a single key; the operators generalize.)",
+    tags=("scalar", "json"),
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.from_json("props", "map<string,bigint>")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_props"),
+    )

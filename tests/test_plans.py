@@ -82,3 +82,16 @@ def test_agg_before_join_shape(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_tpch_q3_filters_pushed_to_all_scans(spark, sf_dir):
+    plan = plan_str(QS["q_tpch_q3_shipping"].fn(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q18_semi_join_before_wide_join(spark, sf_dir):
+    plan = plan_str(QS["q_tpch_q18_big_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
