@@ -45,6 +45,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(all_q.items()):
+        # first run pays codegen/compile; report the steady-state second run
+        materialize(q.fn(spark, sf_dir))
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
