@@ -261,3 +261,60 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.size(m).alias("n_props"),
     )
+
+
+@register(
+    "q_window_firstlast",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last/nth analytic window values over the full partition "
+    "frame (explicit UNBOUNDED FOLLOWING — the default frame makes "
+    "last_value a running value, a classic correctness trap).",
+    tags=("window",),
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "q_array_predicates",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0.2)) > 0          AS any_big,
+           len(list_filter(embedding, x -> x > -1.0)) = len(embedding) AS all_sane,
+           len(list_filter(embedding, x -> x < 0.0))              AS n_negative
+    FROM embeddings
+    """,
+    doc="Higher-order array predicates: exists / forall / filtered count "
+    "over the embedding vectors.",
+    tags=("scalar", "array"),
+)
+def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.exists("embedding", lambda x: x > 0.2).alias("any_big"),
+        F.forall("embedding", lambda x: x > -1.0).alias("all_sane"),
+        F.size(F.filter("embedding", lambda x: x < 0.0)).cast("long").alias("n_negative"),
+    )
