@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.corpus",
         "sales_data_pipeline_gcp_spark.operators.tpch",
         "sales_data_pipeline_gcp_spark.operators.components",
+        "sales_data_pipeline_gcp_spark.operators.null_semantics",
     ):
         importlib.import_module(mod)
 
