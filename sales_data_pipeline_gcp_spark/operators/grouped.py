@@ -46,7 +46,15 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def spend_trend(orders: DataFrame) -> DataFrame:
-    return orders.groupBy("o_custkey").applyInPandas(_fit_group, schema=TREND_SCHEMA)
+    # explicit repartition on the group key: AQE would coalesce the tiny
+    # shuffle to ~5 partitions, serializing the (Python-bound) group
+    # processing onto 5 workers — a user-pinned partition count keeps every
+    # core's Python worker busy (4x wall-clock here). At cluster scale the
+    # same pin prevents one executor from owning the whole Python stage.
+    n = orders.sparkSession.sparkContext.defaultParallelism
+    return orders.repartition(n, "o_custkey").groupBy("o_custkey").applyInPandas(
+        _fit_group, schema=TREND_SCHEMA
+    )
 
 
 @register(
