@@ -239,3 +239,66 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * FP_MULT + h) % FP_MOD,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, UNNEST({_WORDS_SQL}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tc FROM tokens GROUP BY doc_id, token
+    ), doclen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tokens
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               (CAST(tf.tc AS DOUBLE) / doclen.dl)
+                 * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf
+        JOIN doclen ON tf.doc_id = doclen.doc_id
+        JOIN df     ON tf.token  = df.token
+        CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_token, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+    """,
+    doc="TF-IDF top term per document (linear idf = N/df, not log — "
+    "cross-engine libm log differs in the last ulp, so the oracle-exact "
+    "variant stays in exact divisions; the ranking is idf-monotone "
+    "regardless). Term/doc frequencies via two shuffles; the global N is a "
+    "broadcast scalar.",
+    tags=("text",),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_words()).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tc"))
+    doclen = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tokens.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            ((F.col("tc").cast("double") / F.col("dl")) * (F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_token"), "tfidf")
+    )
