@@ -114,3 +114,22 @@ def write_append(df: DataFrame, path: str, *, fmt: str = "parquet", partition_by
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact(spark: SparkSession, path: str, *, target_files: int, fmt: str = "parquet") -> int:
+    """Small-files compaction (the OPTIMIZE-style maintenance op): rewrite a
+    table directory into ``target_files`` files via stage-then-swap.
+
+    At 100 TB the small-files problem is the top operational failure mode of
+    append-heavy pipelines — every micro-batch append adds files until scan
+    task-scheduling overhead dominates. Returns the row count (unchanged).
+    """
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    staging = path + ".compacting"
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return spark.read.format(fmt).load(path).count()

@@ -88,3 +88,49 @@ def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path):
     b = {key(r): (r.n_events, r.sum_value) for r in batch_result.collect()}
     s = {key(r): (r.n_events, r.sum_value) for r in stream_result.collect()}
     assert b == s
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the streaming upgrade of the
+    reference's missing idempotence — re-delivered events (same event_id)
+    arriving across micro-batches within the watermark are emitted once."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "dup_src")
+    # batch 1 and batch 2 share event_ids 1 and 2 (redelivery)
+    spark.createDataFrame(
+        [(1, base, 1.0), (2, base + dt.timedelta(minutes=1), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, base + dt.timedelta(minutes=1), 2.0), (3, base + dt.timedelta(minutes=2), 3.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts_us", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == [1, 2, 3]
