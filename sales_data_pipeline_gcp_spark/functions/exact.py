@@ -14,6 +14,14 @@ The double->decimal rounding at scale ``s`` is unambiguous whenever the
 underlying exact value has fewer than ``s`` decimal digits (true for all
 fixture money/quantity columns and their 2-3-factor products), so Spark's
 HALF_UP and DuckDB's rounding cannot disagree.
+
+Scale-selection rule (learned the hard way at sf0.1): pick the SMALLEST
+scale that exactly represents the per-row values, because the final
+decimal->double conversion is only guaranteed identical cross-engine while
+``sum * 10^s < 2^53`` — beyond that, DuckDB's int128->double pre-rounding
+before the 10^s division can differ from Spark's correctly-rounded
+BigDecimal conversion by 1 ulp. A 2-decimal money column summed to ~1e9 at
+scale 6 leaves 4 orders of margin; scale 8 does not.
 """
 
 from __future__ import annotations

@@ -37,7 +37,7 @@ from sales_data_pipeline_gcp_spark.plans.registry import register
         {sql_sum('l_quantity', 2)}                                    AS sum_qty,
         {sql_sum('l_extendedprice', 2)}                               AS sum_base_price,
         {sql_sum('l_extendedprice * (1 - l_discount)', 6)}            AS sum_disc_price,
-        {sql_sum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 8)} AS sum_charge,
+        {sql_sum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
         {sql_avg('l_quantity', 2)}                                    AS avg_qty,
         {sql_avg('l_extendedprice', 2)}                               AS avg_price,
         {sql_avg('l_discount', 2)}                                    AS avg_disc,
@@ -63,7 +63,12 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_quantity", 2).alias("sum_qty"),
             exact_sum("l_extendedprice", 2).alias("sum_base_price"),
             exact_sum(disc_price, 6).alias("sum_disc_price"),
-            exact_sum(charge, 8).alias("sum_charge"),
+            # scale 6: per-row charge has <= 6 true decimals (2+2+2) so the cast
+            # is exact, AND the scaled integer stays under 2^53 so decimal->double
+            # is a single correctly-rounded step in BOTH engines (at scale 8 the
+            # scaled int exceeds 2^53 and DuckDB's int->double pre-rounding
+            # diverges from Spark's BigDecimal conversion by 1 ulp)
+            exact_sum(charge, 6).alias("sum_charge"),
             (exact_sum("l_quantity", 2) / F.count("l_quantity")).alias("avg_qty"),
             (exact_sum("l_extendedprice", 2) / F.count("l_extendedprice")).alias("avg_price"),
             (exact_sum("l_discount", 2) / F.count("l_discount")).alias("avg_disc"),
