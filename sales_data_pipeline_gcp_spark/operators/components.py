@@ -39,9 +39,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    # checkpoint the edge set FIRST, then derive labels from the
+    # checkpointed plan — deriving labels from the raw plan would
+    # re-execute the whole upstream pipeline a second time
     sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
