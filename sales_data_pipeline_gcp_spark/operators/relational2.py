@@ -318,3 +318,31 @@ def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall("embedding", lambda x: x > -1.0).alias("all_sane"),
         F.size(F.filter("embedding", lambda x: x < 0.0)).cast("long").alias("n_negative"),
     )
+
+
+@register(
+    "q_window_percentrank",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           NTILE(10)      OVER w AS decile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution ranking windows: percent_rank ((rank-1)/(n-1)), "
+    "cume_dist, deciles over a global unique ordering (exact rational "
+    "divisions -> bit-identical doubles).",
+    tags=("window",),
+)
+def q_window_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
