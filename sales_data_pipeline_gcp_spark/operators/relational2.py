@@ -332,7 +332,10 @@ def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Distribution ranking windows: percent_rank ((rank-1)/(n-1)), "
     "cume_dist, deciles over a global unique ordering (exact rational "
-    "divisions -> bit-identical doubles).",
+    "divisions -> bit-identical doubles). Scale note: an unpartitioned "
+    "window funnels through one task — at 100 TB you pre-bin with "
+    "approx quantiles and rank within bins; fine here because the "
+    "dimension is customer-sized.",
     tags=("window",),
 )
 def q_window_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
