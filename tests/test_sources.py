@@ -63,3 +63,16 @@ def test_compaction(spark, tmp_path):
     after = len(glob.glob(out + "/*.parquet"))
     assert n == 600 and after <= 2 < before
     assert spark.read.parquet(out).agg({"id": "sum"}).collect()[0][0] == sum(range(600))
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema drift on an append table: a later batch adds a column;
+    mergeSchema reads the superset with NULLs for old files — the
+    compatible-evolution path (incompatible type changes still fail)."""
+    out = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.mode("append").parquet(out)
+    spark.range(5, 8).selectExpr("id", "id * 2 AS v", "'x' AS tag").write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    assert merged.count() == 8
+    assert merged.filter("tag IS NULL").count() == 5
