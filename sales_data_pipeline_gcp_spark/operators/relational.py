@@ -395,9 +395,9 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              / COUNT(*) OVER w_5 AS moving_avg_5
     FROM lineitem
     WINDOW
-      w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      w_5   AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      w_5   AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
     doc="Frame windows: running sum + 5-row moving average per supplier, "
@@ -406,7 +406,11 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures; adding
+    # l_extendedprice makes the frame order value-deterministic — rows tied
+    # on all four contribute equal values, so every prefix sum is invariant
+    # under their permutation
+    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     w_run = (
         W.partitionBy("l_suppkey").orderBy(*order_cols).rowsBetween(W.unboundedPreceding, W.currentRow)
     )
