@@ -26,10 +26,10 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+    WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
                                        / COUNT(*) FROM orders)
     """,
-    doc="Uncorrelated scalar subquery: orders above 2x the global average "
+    doc="Uncorrelated scalar subquery: orders above 1.5x the global average "
     "price. Catalyst evaluates the subquery once and broadcasts the scalar.",
     tags=("subquery",),
 )
@@ -39,7 +39,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+        WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
                                            / COUNT(*) FROM orders)
         """
     )
