@@ -131,3 +131,28 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_csv(os.path.join(raw, f"sales_{i}.csv"), generate_rows(n, seed=100 + i))
     ingest_sales_stream(spark, raw, out, ckpt, audit=False).awaitTermination()
     return spark.read.parquet(out)
+
+
+@register(
+    "q_rollup_hierarchy",
+    oracle=f"""
+    WITH grains AS (SELECT UNNEST([300, 3600, 86400]) AS grain_sec)
+    SELECT g.grain_sec,
+           (epoch_ns(ts) // {NS_PER_SECOND}) - ((epoch_ns(ts) // {NS_PER_SECOND}) % g.grain_sec)
+                                                       AS bucket_start,
+           event_type,
+           COUNT(*)                                    AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN grains g
+    GROUP BY 1, 2, 3
+    """,
+    doc="Hypertable-style hierarchical rollup: 5min/1h/1d grains in ONE "
+    "pass (posexplode over grain lengths + partial aggregation) — the "
+    "batch/backfill path of streaming/rollup.py, whose incremental "
+    "additive-merge maintenance is tested in tests/test_rollup.py.",
+    tags=("streaming", "rollup"),
+)
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.streaming.rollup import hierarchical_rollup
+
+    return hierarchical_rollup(load(spark, sf_dir, "events"))
