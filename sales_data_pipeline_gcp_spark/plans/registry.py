@@ -77,6 +77,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.tpch",
         "sales_data_pipeline_gcp_spark.operators.components",
         "sales_data_pipeline_gcp_spark.operators.null_semantics",
+        "sales_data_pipeline_gcp_spark.operators.sketches",
     ):
         importlib.import_module(mod)
 
