@@ -1,0 +1,50 @@
+"""Empirical scaling report: run representative queries at sf0.001 / 0.01 /
+0.1 (100x data growth) and report wall-clock scaling factors. A plan whose
+time grows ~linearly (or sublinearly, while fixed overheads amortize) with
+data is evidence the shape survives scale-up; superlinear growth flags a
+blowup (e.g. an accidental O(n^2) join).
+
+Usage: python scale_report.py   (prints a markdown table)
+"""
+
+from __future__ import annotations
+
+import time
+
+from sales_data_pipeline_gcp_spark.plans import registry
+from sales_data_pipeline_gcp_spark.session import get_spark
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+QUERIES = [
+    "q_agg_group",        # scan + agg
+    "q_join_star",        # multi-join
+    "q_window_frame",     # window
+    "q_dedup_minhash",    # LSH pipeline
+    "q_corpus_prepare",   # composed funnel
+    "q_stream_tumbling",  # event-time agg
+]
+
+
+def main() -> None:
+    spark = get_spark("scale_report")
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | x(0.01/0.001) | x(0.1/0.01) |")
+    print("|---|---|---|---|---|---|")
+    for name in QUERIES:
+        fn = registry.all_queries()[name].fn
+        times = []
+        for sf in SFS:
+            fn(spark, sf).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sf).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        r1 = times[1] / times[0]
+        r2 = times[2] / times[1]
+        print(
+            f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {times[2]:.2f} "
+            f"| {r1:.1f}x | {r2:.1f}x |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
