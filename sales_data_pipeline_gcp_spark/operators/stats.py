@@ -1,0 +1,129 @@
+"""Statistical aggregate surface: variance / stddev / Pearson correlation
+via explicit exact-sum formulas, value histograms, and relational division.
+
+Built-in ``stddev``/``corr`` use streaming (Welford-style) accumulation
+whose float result depends on merge order — unreproducible cross-engine.
+Computing the classic sum-of-squares formulas from decimal-exact sums makes
+the statistics deterministic: every input to the final double arithmetic is
+bit-identical in both engines, and the formula evaluation is fixed IEEE
+ops. (The textbook cancellation caveat of sum-of-squares does not bite at
+fixture magnitudes; docstring notes the shift trick for when it would.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.functions.exact import dec
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+N_BUCKETS = 10
+PRICE_MIN, PRICE_MAX = 0.0, 600000.0
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)           AS sx,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)      AS sy,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1)                       AS var_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1))                 AS stddev_qty,
+           (sxy - sx * sy / n)
+             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+    FROM sums
+    """,
+    doc="Sample variance / stddev / Pearson correlation from decimal-exact "
+    "sums (built-in stddev/corr use merge-order-dependent Welford "
+    "accumulation — unreproducible cross-engine). At magnitudes where "
+    "sum-of-squares would cancel catastrophically, shift by an approximate "
+    "mean first; not needed at fixture scales.",
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(qty, 2)).cast("double").alias("sx"),
+        F.sum(dec(qty * qty, 4)).cast("double").alias("sxx"),
+        F.sum(dec(price, 2)).cast("double").alias("sy"),
+        F.sum(dec(price * price, 4)).cast("double").alias("syy"),
+        F.sum(dec(qty * price, 4)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    return g.select(
+        "l_returnflag",
+        "n",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {(PRICE_MAX - PRICE_MIN) / N_BUCKETS}) AS BIGINT) + 1 AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc=f"Value histogram: {N_BUCKETS} equal bins over the price domain via "
+    "explicit floor arithmetic (width_bucket semantics, spelled out because "
+    "DuckDB lacks the function) — a one-pass distribution profile.",
+    tags=("agg", "stats"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    width = (PRICE_MAX - PRICE_MIN) / N_BUCKETS
+    return (
+        o.groupBy((F.floor(F.col("o_totalprice") / width) + 1).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_relational_division",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+         cust_pr AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+    SELECT o_custkey AS c_custkey, COUNT(*) AS n_priorities
+    FROM cust_pr
+    GROUP BY o_custkey
+    HAVING COUNT(*) = (SELECT COUNT(*) FROM pr)
+    """,
+    doc="Relational division ('customers who ordered under EVERY "
+    "priority'): distinct-pair counting vs the divisor cardinality — the "
+    "set-containment join pattern without any join at all.",
+    tags=("agg", "division"),
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    n_pr = o.select("o_orderpriority").distinct().count()  # tiny driver scalar
+    return (
+        o.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_priorities"))
+        .filter(F.col("n_priorities") == n_pr)
+    )

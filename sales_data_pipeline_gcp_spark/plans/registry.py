@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.components",
         "sales_data_pipeline_gcp_spark.operators.null_semantics",
         "sales_data_pipeline_gcp_spark.operators.sketches",
+        "sales_data_pipeline_gcp_spark.operators.stats",
     ):
         importlib.import_module(mod)
 
