@@ -27,13 +27,19 @@ PRICE_MIN, PRICE_MAX = 0.0, 600000.0
     "q_agg_stats",
     oracle="""
     WITH sums AS (
+        -- integer-unit (cents) scale-0 accumulation: the decimal->double
+        -- conversion of a scale-0 value is a SINGLE rounding in both
+        -- engines even beyond 2^53, unlike scaled decimals whose
+        -- int->double-then-divide path can differ by 1 ulp (see
+        -- functions/exact.py scale-selection rule); the /10^k rescales
+        -- then happen in identical IEEE double arithmetic
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)           AS sx,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)      AS sy,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+               CAST(SUM(CAST(l_quantity * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sx,
+               CAST(SUM(CAST((l_quantity * 100) * (l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxx,
+               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sy,
+               CAST(SUM(CAST((l_extendedprice * 100) * (l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS syy,
+               CAST(SUM(CAST((l_quantity * 100) * (l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -52,14 +58,15 @@ PRICE_MIN, PRICE_MAX = 0.0, 600000.0
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    qty_c = F.col("l_quantity") * 100    # integer-valued cents units
+    price_c = F.col("l_extendedprice") * 100
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(dec(qty, 2)).cast("double").alias("sx"),
-        F.sum(dec(qty * qty, 4)).cast("double").alias("sxx"),
-        F.sum(dec(price, 2)).cast("double").alias("sy"),
-        F.sum(dec(price * price, 4)).cast("double").alias("syy"),
-        F.sum(dec(qty * price, 4)).cast("double").alias("sxy"),
+        (F.sum(dec(qty_c, 0)).cast("double") / 1e2).alias("sx"),
+        (F.sum(dec(qty_c * qty_c, 0)).cast("double") / 1e4).alias("sxx"),
+        (F.sum(dec(price_c, 0)).cast("double") / 1e2).alias("sy"),
+        (F.sum(dec(price_c * price_c, 0)).cast("double") / 1e4).alias("syy"),
+        (F.sum(dec(qty_c * price_c, 0)).cast("double") / 1e4).alias("sxy"),
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
     var_qty = (sxx - sx * sx / n) / (n - 1)
