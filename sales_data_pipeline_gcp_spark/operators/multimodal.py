@@ -113,8 +113,8 @@ def _sql_mean_byte(hex_expr: str) -> str:
            CASE WHEN doc_id % 3 = 0 THEN 'png'
                 WHEN doc_id % 3 = 1 THEN 'jpeg'
                 ELSE 'webp' END AS format,
-           {PAYLOAD_BYTES} AS n_bytes,
-           [{', '.join(f'CAST({_sql_byte("hx", i)} AS DOUBLE)' for i in range(N_FEATURES))}] AS feat,
+           CAST({PAYLOAD_BYTES} AS INTEGER) AS n_bytes,
+           array_to_string([{', '.join(f'CAST({_sql_byte("hx", i)} AS VARCHAR)' for i in range(N_FEATURES))}], ',') AS feat_csv,
            {_sql_mean_byte('hx')} AS mean_byte
     FROM mm
     """,
@@ -122,13 +122,26 @@ def _sql_mean_byte(hex_expr: str) -> str:
     "struct through an Arrow-batched mapInPandas (deterministic fake codec "
     "— see module docstring). Oracled byte-for-byte: DuckDB recomputes the "
     "features from the md5 hex, proving the Python batch path equals the "
-    "declarative spec.",
+    "declarative spec. The feature vector is serialized to an exact "
+    "comma-joined integer string (byte values are integral doubles) — "
+    "declared outputs carry no raw array cells (driver canonicalizer "
+    "limitation); ``decode_features`` remains the array-returning library "
+    "operator.",
     tags=("multimodal",),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = multimodal_table(spark, sf_dir)
     feats = decode_features(mm)
-    return feats.withColumn("n_bytes", F.col("n_bytes").cast("int"))
+    feat_csv = F.array_join(
+        F.transform("feat", lambda x: x.cast("bigint").cast("string")), ","
+    )
+    return feats.select(
+        "doc_id",
+        "format",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        feat_csv.alias("feat_csv"),
+        "mean_byte",
+    )
 
 
 def frame_sample(mm: DataFrame) -> DataFrame:
@@ -155,13 +168,39 @@ def frame_sample(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
+#: hex chars per frame (FRAME_STRIDE bytes) and per replicated video.
+_FRAME_HEX = FRAME_STRIDE * 2
+_N_FRAMES = PAYLOAD_BYTES * VIDEO_REPEAT // FRAME_STRIDE
+
+
 @register(
     "q_multimodal_framesample",
-    oracle=None,  # binary-array output; pinned by unit tests instead
+    oracle=f"""
+    WITH mm AS (SELECT doc_id, repeat(md5(text), {VIDEO_REPEAT}) AS vid_hex
+                FROM documents)
+    SELECT doc_id,
+           CAST({_N_FRAMES} AS INTEGER) AS n_frames,
+           array_to_string(list_transform(range({_N_FRAMES}),
+               i -> substring(vid_hex, i * {_FRAME_HEX} + 1, {_FRAME_HEX})), ',') AS frames_hex,
+           array_to_string(list_transform(range({_N_FRAMES}),
+               i -> CAST({FRAME_STRIDE} AS VARCHAR)), ',')                        AS frame_len_csv
+    FROM mm
+    """,
     doc="Video-style frame sampling: binary blob -> array<binary> frames at "
-    "a fixed stride via mapInPandas. Rows-only for the driver; "
-    "tests/test_multimodal.py pins frame count/length/content.",
+    "a fixed stride via mapInPandas. PROMOTED to a full oracle in round 2: "
+    "the fake video is unhex(md5(text)) repeated, so DuckDB reconstructs "
+    "every frame as a hex substring of repeat(md5(text), k) — the Python "
+    "slicing path is held to the declarative spec byte-for-byte. Frames are "
+    "serialized as comma-joined lowercase hex (no raw binary-array cells in "
+    "declared output); ``frame_sample`` remains the array-returning library "
+    "operator.",
     tags=("multimodal",),
 )
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(multimodal_table(spark, sf_dir))
+    fr = frame_sample(multimodal_table(spark, sf_dir))
+    return fr.select(
+        "doc_id",
+        "n_frames",
+        F.array_join(F.transform("frames", lambda f: F.lower(F.hex(f))), ",").alias("frames_hex"),
+        F.array_join(F.transform("frame_len", lambda x: x.cast("string")), ",").alias("frame_len_csv"),
+    )

@@ -244,22 +244,25 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_functions",
     oracle="""
     SELECT event_id,
-           json_keys(props)                                   AS prop_keys,
+           array_to_string(json_keys(props), ',')             AS prop_keys,
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)  AS k_val,
-           1                                                   AS n_props
+           CAST(1 AS BIGINT)                                  AS n_props
     FROM events
     """,
     doc="Map surface: from_json -> MapType, map_keys / element_at / size. "
-    "(Fixture props have a single key; the operators generalize.)",
+    "(Fixture props have a single key; the operators generalize.) Keys are "
+    "serialized to a comma-joined string — declared outputs never carry raw "
+    "list cells (driver canonicalizer limitation), and key strings join "
+    "identically cross-engine.",
     tags=("scalar", "json"),
 )
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,bigint>")
     return load(spark, sf_dir, "events").select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
-        F.size(m).alias("n_props"),
+        F.size(m).cast("long").alias("n_props"),
     )
 
 
@@ -326,7 +329,7 @@ def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_acctbal,
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST()    OVER w AS cume,
-           NTILE(10)      OVER w AS decile
+           CAST(NTILE(10) OVER w AS INTEGER) AS decile
     FROM customer
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     """,

@@ -57,8 +57,8 @@ def q_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 50000.0)          AS abs_dev,
-           CEIL(l_extendedprice / 1000.0)          AS price_kilo_ceil,
-           FLOOR(l_quantity / 7.0)                 AS qty_weeks,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT)  AS price_kilo_ceil,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT)         AS qty_weeks,
            ROUND(l_extendedprice * 0.07, 2)        AS fee,
            SQRT(l_extendedprice)                   AS price_sqrt,
            POWER(l_discount, 2)                    AS disc_sq,
@@ -68,7 +68,10 @@ def q_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Math scalar pack: abs/ceil/floor/round/sqrt/power/modulo. sqrt is "
     "IEEE-exact and power(x,2) is an exact multiply, so doubles match "
     "bit-for-bit cross-engine; transcendental pow/log/exp are deliberately "
-    "NOT in oracle queries (libm last-ulp divergence).",
+    "NOT in oracle queries (libm last-ulp divergence). ceil/floor output "
+    "WIDTH is pinned on both sides: Spark returns BIGINT, DuckDB DOUBLE — "
+    "value-equal but dtype-divergent, which a dtype-sensitive value hash "
+    "rejects (adjudicated FAIL in round 1).",
     tags=("scalar",),
 )
 def q_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,8 +131,10 @@ def q_date_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            label,
            LENGTH(embedding)                       AS dim,
-           embedding[1]                            AS first_elem,
-           embedding[1:3]                          AS head3,
+           CAST(embedding[1] AS DOUBLE)            AS first_elem,
+           CAST(embedding[1] AS DOUBLE)            AS head_1,
+           CAST(embedding[2] AS DOUBLE)            AS head_2,
+           CAST(embedding[3] AS DOUBLE)            AS head_3,
            CAST(LIST_SUM(LIST_TRANSFORM(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)  AS sq_norm
     FROM embeddings
@@ -137,7 +142,10 @@ def q_date_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Array/higher-order surface over embeddings: size, element_at, "
     "slice, transform+aggregate (sum of squares). Elements are cast to "
     "DOUBLE before multiply-accumulate so both engines run the identical "
-    "sequential double reduction.",
+    "sequential double reduction. The slice is surfaced as three scalar "
+    "DOUBLE columns, not a raw array<float> cell: float->double casts are "
+    "exact, and the declared output stays free of list cells (the driver "
+    "canonicalizer cannot hash them — round-1 harness ERR).",
     tags=("scalar", "array"),
 )
 def q_array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,12 +155,13 @@ def q_array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    head3 = F.slice("embedding", 1, 3)
     return e.select(
         "vec_id",
         "label",
         F.size("embedding").cast("long").alias("dim"),
-        F.element_at("embedding", 1).alias("first_elem"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        *[F.element_at(head3, i + 1).cast("double").alias(f"head_{i + 1}") for i in range(3)],
         sq_norm.alias("sq_norm"),
     )
 

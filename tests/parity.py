@@ -5,6 +5,16 @@ fixtures, compare row-count + schema-shape + order-insensitive values.
 Comparison is EXACT on floats — the engine's queries are written (decimal
 accumulation, deterministic tie-breaks) so both engines produce bit-identical
 doubles; if exactness holds here, any reasonable driver value-hash matches.
+
+Round-2 hardening, mirroring two driver behaviors the round-1 local suite
+missed (VERDICT.md "What's wrong"):
+
+- the driver's value hash is DTYPE-sensitive (Spark BIGINT vs DuckDB DOUBLE
+  fails even when values are equal), so ``compare`` now asserts the pandas
+  dtype KINDS of both frames match column-by-column;
+- the driver's canonicalizer crashes on list/dict cells, so ``compare``
+  rejects any declared output whose cells are lists, dicts, or ndarrays —
+  declared queries must serialize nested values to strings/scalars.
 """
 
 from __future__ import annotations
@@ -55,12 +65,44 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 
+def _assert_no_nested_cells(df: pd.DataFrame, side: str, name: str) -> None:
+    """The driver's canonicalizer raises ``unhashable type: 'list'`` on any
+    list/dict cell; fail loudly here instead of green-locally/red-driver."""
+    for col in df.columns:
+        if df[col].dtype == object and len(df):
+            bad = df[col].map(lambda v: isinstance(v, (list, dict, np.ndarray))).any()
+            assert not bad, (
+                f"{name}: {side} column {col!r} holds list/dict cells — the driver "
+                "canonicalizer cannot hash these; serialize to string/scalars "
+                "in the declared query"
+            )
+
+
+def _kind(dtype) -> str:
+    """Comparable dtype class: integer/float/bool/datetime/object."""
+    k = dtype.kind
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime", "m": "timedelta"}.get(
+        k, "object"
+    )
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, name: str = "query") -> None:
     got = spark_df.toPandas()
     assert sorted(got.columns) == sorted(oracle_df.columns), (
         f"{name}: column mismatch spark={sorted(got.columns)} oracle={sorted(oracle_df.columns)}"
     )
     assert len(got) == len(oracle_df), f"{name}: row count spark={len(got)} oracle={len(oracle_df)}"
+    _assert_no_nested_cells(got, "spark", name)
+    _assert_no_nested_cells(oracle_df, "oracle", name)
+    kind_diffs = [
+        (c, str(got[c].dtype), str(oracle_df[c].dtype))
+        for c in sorted(got.columns)
+        if _kind(got[c].dtype) != _kind(oracle_df[c].dtype)
+    ]
+    assert not kind_diffs, (
+        f"{name}: dtype-kind mismatches (driver hash is dtype-sensitive; pin "
+        f"widths with casts on both sides): {kind_diffs}"
+    )
     g, o = canon(got), canon(oracle_df)
     mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(g, o)) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
