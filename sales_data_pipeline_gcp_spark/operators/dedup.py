@@ -418,6 +418,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBED_DIM = 64
 COSINE_DUP_THRESHOLD = 0.8
+#: In-query planted near-dups: the fixture has no pair above the threshold,
+#: so the declared query unions a scaled clone (vec_id + offset, embedding
+#: doubled) of the first N_PLANTED vectors — scaling by 2 is exact in any
+#: float width, so cosine(source, clone) computes to ~1.0 identically in
+#: both engines and the pass is non-vacuous (round-1 row was 0 == 0).
+N_PLANTED = 5
+PLANT_OFFSET = 1_000_000
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -439,12 +446,18 @@ def spark_dot(a, b):
 @register(
     "q_dedup_embedding",
     oracle=f"""
-    WITH pairs AS (
+    WITH corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET}, label,
+               list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        FROM embeddings WHERE vec_id < {N_PLANTED}
+    ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_sql_dot('a.embedding', 'b.embedding')} AS dot,
                SQRT({_sql_dot('a.embedding', 'a.embedding')}) AS na,
                SQRT({_sql_dot('b.embedding', 'b.embedding')}) AS nb
-        FROM embeddings a JOIN embeddings b
+        FROM corpus a JOIN corpus b
           ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, dot / (na * nb) AS cosine
@@ -454,13 +467,21 @@ def spark_dot(a, b):
     doc="Embedding-cosine near-dup, blocked on label (the pre-clustering "
     "a production pipeline gets from IVF/LSH bucketing) so candidate pairs "
     "are within-block instead of O(n^2). Dot products fold left-to-right "
-    "in double in both engines -> bit-identical cosines.",
+    "in double in both engines -> bit-identical cosines. The corpus unions "
+    f"{N_PLANTED} planted scaled clones in-query so the pass asserts real "
+    "above-threshold pairs (round 1 passed vacuously at 0 rows).",
     tags=("dedup", "similarity"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    clones = base.filter(F.col("vec_id") < N_PLANTED).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
+    )
     # norms are computed ONCE per vector before the self-join (the oracle
     # recomputes them per pair — identical doubles, 2x fewer dot products)
-    e = load(spark, sf_dir, "embeddings").withColumn(
+    e = base.unionByName(clones).withColumn(
         "norm", F.sqrt(spark_dot(F.col("embedding"), F.col("embedding")))
     )
     a = e.alias("a")

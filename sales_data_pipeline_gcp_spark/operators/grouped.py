@@ -57,9 +57,7 @@ def spend_trend(orders: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_grouped_trend",
-    oracle="""
+_TREND_ORACLE = """
     WITH pts AS (
         SELECT o_custkey,
                epoch(o_orderdate) // 86400                  AS x,
@@ -80,7 +78,12 @@ def spend_trend(orders: DataFrame) -> DataFrame:
                 ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
            END AS slope_cents_per_day
     FROM sums
-    """,
+    """
+
+
+@register(
+    "q_grouped_trend",
+    oracle=_TREND_ORACLE,
     doc="Grouped-map Pandas UDF (applyInPandas): per-customer OLS spend "
     "trend in exact integer arithmetic; the oracle is the closed-form SQL "
     "— Python batch path held to declarative semantics bit-for-bit.",
@@ -88,3 +91,38 @@ def spend_trend(orders: DataFrame) -> DataFrame:
 )
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend_trend(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "q_grouped_trend_sql",
+    oracle=_TREND_ORACLE,
+    doc="Declarative twin of q_grouped_trend — the SAME per-customer OLS "
+    "slope from built-in integer-exact aggregates (no Python anywhere): "
+    "one hash aggregation of five sums, closed-form slope. This is the "
+    "100 TB path (~10x the applyInPandas variant — whole-stage codegen, "
+    "no Arrow transfer, partial aggregation map-side); the UDF variant "
+    "exists to declare the grouped-map surface itself.",
+    tags=("grouped", "agg"),
+)
+def q_grouped_trend_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # x: day number (orders are midnight-aligned, so datediff == epoch//86400
+    # with zero timezone exposure); y: integer cents (exact)
+    pts = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    g = pts.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    denom = n * sxx - sx * sx
+    slope = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        (n * sxy - sx * sy).cast("double") / denom.cast("double")
+    )
+    return g.select("o_custkey", n.alias("n_orders"), slope.alias("slope_cents_per_day"))

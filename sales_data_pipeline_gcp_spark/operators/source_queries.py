@@ -1,55 +1,127 @@
 """Source-format coverage (SURVEY.md §2.3 sources/sinks): explicit-schema
 CSV scan (the reference's only source, scripts/process_sales.py:25-35) and
-JSON scan. Rows-only for the driver (the oracle sees only the parquet
-fixtures); tests/test_sources.py asserts exact row round-trips.
+JSON scan.
+
+Round 2: both scans are FULLY ORACLED. The scan fixtures are deterministic
+(seeded generator / literal rows) and written to a FIXED path at module
+import — registry loading imports this module before either engine runs, so
+DuckDB reads the same bytes via ``read_csv``/``read_json`` by absolute path.
+
+Cross-engine notes baked into the oracles:
+
+- CSV: DuckDB's default ``nullstr`` treats empty fields as NULL, matching
+  Spark's PERMISSIVE empty->NULL; explicit column types both sides (schema
+  inference double-reads the data at scale and is never used).
+- JSON: Spark PERMISSIVE with an explicit schema keeps PARTIAL results on a
+  type-mismatched record (id: "not-an-int" -> id NULL, kind kept). DuckDB
+  mirrors that per-field nulling by reading every column as VARCHAR and
+  ``TRY_CAST``-ing — verified cell-identical including the float64-from-NULL
+  dtype.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from sales_data_pipeline_gcp_spark.io import read_json, read_sales_csv
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
+FIXTURE_DIR = "/tmp/spark_graft_scan_fixtures"
+CSV_PATH = os.path.join(FIXTURE_DIR, "sales_scan_seed21.csv")
+JSON_PATH = os.path.join(FIXTURE_DIR, "events_scan.jsonl")
+CSV_ROWS = 200
+CSV_SEED = 21
+JSON_ROWS = 100
+
+
+def ensure_scan_fixtures() -> None:
+    """Write the deterministic scan fixtures to their fixed paths
+    (idempotent; re-written each import so content can never drift)."""
+    from sales_data_pipeline_gcp_spark.sources.sales import generate_rows, write_csv
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    write_csv(CSV_PATH, generate_rows(CSV_ROWS, seed=CSV_SEED))
+    with open(JSON_PATH, "w") as f:
+        for i in range(JSON_ROWS):
+            f.write(json.dumps({"id": i, "kind": "k" + str(i % 3), "score": i / 10.0}) + "\n")
+        f.write('{"id": "not-an-int", "kind": "bad"}\n')  # malformed -> partial NULLs
+
+
+ensure_scan_fixtures()
+
+_CSV_COLUMNS = (
+    "{'product': 'VARCHAR', 'price': 'DOUBLE', 'quantity': 'INTEGER', "
+    "'total': 'DOUBLE', 'ordered_at': 'TIMESTAMP', 'delivery_at': 'TIMESTAMP'}"
+)
+
 
 @register(
     "q_scan_csv_schema",
-    oracle=None,  # reads a self-generated temp CSV; round-trip pinned in tests
+    oracle=f"""
+    WITH raw AS (
+        SELECT * FROM read_csv('{CSV_PATH}', header = true, columns = {_CSV_COLUMNS})
+    ), kept AS (
+        SELECT * FROM raw
+        WHERE NOT (quantity IS NULL AND price IS NULL AND total IS NULL)
+    ), q_imputed AS (
+        SELECT product, price,
+               CASE WHEN quantity IS NULL THEN CAST(FLOOR(total / price) AS BIGINT)
+                    ELSE CAST(quantity AS BIGINT) END AS quantity,
+               total, ordered_at, delivery_at
+        FROM kept
+    ), t_imputed AS (
+        SELECT product, price, quantity,
+               CASE WHEN total IS NULL THEN ROUND(price * quantity, 2)
+                    ELSE total END AS total,
+               ordered_at, delivery_at
+        FROM q_imputed
+    )
+    SELECT product,
+           CAST(price AS REAL)       AS price,
+           CAST(quantity AS INTEGER) AS quantity,
+           CAST(total AS REAL)       AS total,
+           ordered_at,
+           delivery_at
+    FROM t_imputed
+    """,
     doc="Header-aware CSV scan with the reference's explicit StructType "
     "(no inference — inference double-reads the data at scale), PERMISSIVE "
-    "malformed->NULL handling, then the reference cleaning pipeline.",
+    "malformed->NULL handling, then the reference cleaning pipeline. "
+    "Fully oracled in round 2: the fixture CSV lives at a fixed path and "
+    "DuckDB replays scan + cleaning (all-null drop, sequential impute, "
+    "narrowing casts) on the same bytes.",
     tags=("source",),
 )
 def q_scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_data_pipeline_gcp_spark.cleaning import clean_sales
-    from sales_data_pipeline_gcp_spark.sources.sales import generate_rows, write_csv
 
-    base = tempfile.mkdtemp(prefix="csv_scan_")
-    path = os.path.join(base, "sales.csv")
-    write_csv(path, generate_rows(200, seed=21))
-    return clean_sales(read_sales_csv(spark, path), audit=False)
+    ensure_scan_fixtures()
+    return clean_sales(read_sales_csv(spark, CSV_PATH), audit=False)
 
 
 @register(
     "q_scan_json",
-    oracle=None,  # reads a self-generated temp JSONL; round-trip pinned in tests
+    oracle=f"""
+    SELECT TRY_CAST(id AS BIGINT)    AS id,
+           kind,
+           TRY_CAST(score AS DOUBLE) AS score
+    FROM read_json('{JSON_PATH}',
+                   columns = {{'id': 'VARCHAR', 'kind': 'VARCHAR', 'score': 'VARCHAR'}},
+                   format = 'newline_delimited')
+    """,
     doc="JSON-lines scan with explicit schema (scale path: schema declared, "
-    "single pass, malformed records -> NULL columns).",
+    "single pass, malformed records -> per-field NULLs). Fully oracled in "
+    "round 2: DuckDB reads every field as VARCHAR and TRY_CASTs, which "
+    "mirrors Spark PERMISSIVE partial-result semantics cell-for-cell.",
     tags=("source",),
 )
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
-    base = tempfile.mkdtemp(prefix="json_scan_")
-    path = os.path.join(base, "events.jsonl")
-    with open(path, "w") as f:
-        for i in range(100):
-            f.write(json.dumps({"id": i, "kind": "k" + str(i % 3), "score": i / 10.0}) + "\n")
-        f.write('{"id": "not-an-int", "kind": "bad"}\n')  # malformed -> NULLs
+    ensure_scan_fixtures()
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -57,4 +129,4 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("score", T.DoubleType()),
         ]
     )
-    return read_json(spark, path, schema)
+    return read_json(spark, JSON_PATH, schema)
