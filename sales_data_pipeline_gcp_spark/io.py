@@ -53,6 +53,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         from pyspark.sql import functions as F
 
+        # DELIBERATE session-wide setting (there is no per-read option for
+        # this legacy flag): nanos-typed parquet reads as int64 for the
+        # rest of the session. session.get_spark sets it at build time; the
+        # runtime set here covers externally-built sessions (the driver's).
+        # It only affects TIMESTAMP(NANOS) columns, which no other fixture
+        # table has — documented rather than hidden (round-1 ADVICE).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         return df.withColumn("ts_us", F.timestamp_micros(F.expr(f"ts div {NS_PER_US}")))

@@ -190,16 +190,22 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id -> mh_0..mh_{k-1}: min over shingles of k seeded hashes.
 
     The k md5-based hashes are computed once per DISTINCT shingle
-    (dictionary-encoding the hash) and broadcast-joined back to the
-    occurrences — at corpus scale the distinct-shingle dimension is orders
-    of magnitude smaller than the occurrence stream, so this trades ~24M
-    hash evaluations for one small join. One aggregation computes all k
-    mins in the same pass."""
+    (dictionary-encoding the hash) and joined back to the occurrences — at
+    corpus scale the distinct-shingle dimension is orders of magnitude
+    smaller than the occurrence stream, so this trades ~24M hash
+    evaluations for one dictionary join. One aggregation computes all k
+    mins in the same pass.
+
+    No forced broadcast: the distinct-shingle dictionary grows with the
+    corpus (at 100 TB it is far beyond any broadcast budget), so the hint
+    would OOM the driver. Left unhinted, AQE size-gates the strategy at
+    runtime — broadcast-hash when the measured dictionary is small (as in
+    the fixtures), shuffle-hash/sort-merge on the shingle key beyond that."""
     hashes = sh.select("shingle").distinct().select(
         "shingle",
         *[shared_hash(F.col("shingle"), f"mh{i}:").alias(f"h_{i}") for i in range(NUM_HASHES)],
     )
-    joined = sh.join(F.broadcast(hashes), "shingle")
+    joined = sh.join(hashes, "shingle")
     aggs = [F.min(F.col(f"h_{i}")).alias(f"mh_{i}") for i in range(NUM_HASHES)]
     return joined.groupBy("doc_id").agg(*aggs)
 
@@ -371,9 +377,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     tokens = docs.select("doc_id", F.explode(ws).alias("token")).distinct()
-    # dictionary-encode the hash: one md5 per distinct token, broadcast back
+    # dictionary-encode the hash: one md5 per distinct token, joined back.
+    # No forced broadcast — the token dictionary is unbounded at corpus
+    # scale; AQE picks broadcast only when the runtime size allows it
+    # (see minhash_signatures).
     tok_hash = tokens.select("token").distinct().select("token", shared_hash(F.col("token")).alias("h"))
-    votes = tokens.join(F.broadcast(tok_hash), "token").select("doc_id", "h").groupBy("doc_id").agg(
+    votes = tokens.join(tok_hash, "token").select("doc_id", "h").groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)

@@ -74,17 +74,29 @@ def _cosine(a, b):
 
 def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties broken by
-    cell id). ``cents`` is broadcast — the assignment is a narrow map over
-    the corpus followed by a per-vector argmax, no shuffle of the vectors."""
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "cell",
-        _cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
+    LOWEST cell id). Fully narrow: the centroid table is aggregated to a
+    single array-of-structs row and broadcast, and the per-vector argmax is
+    one in-row ``array_max`` over the scored structs — the corpus is never
+    replicated (round 1 crossJoined x n_cells) and never shuffled (round 1
+    ran a ``row_number`` window over the exploded copies; at 100 TB that
+    shuffle IS the job). Struct ordering does the tie-break: max on
+    (csim, -cell) prefers higher similarity, then lower cell id."""
+    cents_row = cents.select(F.struct("cell", "centroid").alias("c")).agg(
+        F.collect_list("c").alias("cents")
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "csim")
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _cosine(F.col("embedding"), c["centroid"]).alias("csim"),
+            (-c["cell"]).alias("neg_cell"),
+        ),
+    )
+    best = F.array_max(scored)
+    return (
+        e.crossJoin(F.broadcast(cents_row))  # single-row: replication factor 1
+        .withColumn("cell", (-best["neg_cell"]).cast("long"))
+        .drop("cents")
+    )
 
 
 @register(

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
+        # parquet reader rejects; this session-wide flag reads nanos as
+        # int64 EVERYWHERE (deliberate, documented — io.load('events')
+        # depends on it and re-asserts it for externally-built sessions)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

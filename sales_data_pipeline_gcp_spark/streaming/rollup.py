@@ -14,6 +14,17 @@ Two pieces:
   replacement), so the rollup stays correct as events stream in. Counts
   and decimal-exact sums are algebraic, which is what makes the merge a
   pure addition.
+
+  ``foreachBatch`` is AT-LEAST-ONCE: after a failure between snapshot swap
+  and checkpoint commit, Spark replays the last micro-batch, and a naive
+  additive merge would double-count it. The sink is made effectively
+  exactly-once by recording applied epoch ids INSIDE the snapshot
+  generation (``_applied_epochs.json`` — underscore-prefixed files are
+  invisible to the parquet reader), so the epoch record and the data swap
+  in the same ``os.rename``; a replayed epoch is detected and skipped. The
+  swap itself is generation-based (rename current -> .old, staging ->
+  current, drop .old) with crash recovery on entry — no rmtree window
+  where the only copy of the snapshot is gone.
 """
 
 from __future__ import annotations
@@ -50,16 +61,40 @@ def rollup_sink(
 ) -> StreamingQuery:
     """Incrementally maintain the rollup: per micro-batch partials are
     ADDED into the snapshot (sum+sum, count+count) keyed by
-    (grain, bucket, event_type)."""
+    (grain, bucket, event_type). Replay-safe: see module docstring."""
     spark = stream.sparkSession
     keys = ["grain_sec", "bucket_start", "event_type"]
+    old_dir = snapshot_dir + ".old"
+
+    def _applied_epochs(path: str) -> set[int]:
+        # epoch ids are unique only within one checkpoint lineage, so the
+        # marker is keyed by checkpoint dir: a NEW stream (fresh checkpoint
+        # path) merging into an existing snapshot starts a fresh epoch set
+        import json
+        import os
+
+        marker = os.path.join(path, "_applied_epochs.json")
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                return set(json.load(f).get(checkpoint_dir, []))
+        return set()
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        import json
         import os
         import shutil
 
+        # crash recovery: died after current -> .old but before staging ->
+        # current; the previous generation is still intact — restore it
+        if not os.path.isdir(snapshot_dir) and os.path.isdir(old_dir):
+            os.rename(old_dir, snapshot_dir)
+
+        applied = _applied_epochs(snapshot_dir) if os.path.isdir(snapshot_dir) else set()
+        if epoch_id in applied:
+            return  # at-least-once replay of a committed epoch: no-op
+
         partial = hierarchical_rollup(batch, grains)
-        try:
+        if os.path.isdir(snapshot_dir):
             current = spark.read.parquet(snapshot_dir)
             merged = (
                 current.unionByName(partial)
@@ -69,13 +104,25 @@ def rollup_sink(
                     F.sum(F.col("sum_value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
                 )
             )
-        except Exception:
+        else:
             merged = partial
         staging = snapshot_dir + f".staging-{epoch_id}"
         merged.write.mode("overwrite").parquet(staging)
+        # the epoch record travels INSIDE the generation being swapped in,
+        # so data + idempotence marker commit in one rename
+        prior = {}
+        prior_marker = os.path.join(snapshot_dir, "_applied_epochs.json")
+        if os.path.isfile(prior_marker):
+            with open(prior_marker) as f:
+                prior = json.load(f)
+        prior[checkpoint_dir] = sorted(applied | {epoch_id})
+        with open(os.path.join(staging, "_applied_epochs.json"), "w") as f:
+            json.dump(prior, f)
+        shutil.rmtree(old_dir, ignore_errors=True)
         if os.path.isdir(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
+            os.rename(snapshot_dir, old_dir)
         os.rename(staging, snapshot_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
