@@ -68,6 +68,70 @@ def near_dedup_docs(docs: DataFrame) -> DataFrame:
     return docs.join(dups, "doc_id", "left_anti")
 
 
+#: Deterministic held-out "benchmark" slice for decontamination: every
+#: 50th document plays the role of an eval set.
+BENCH_MOD = 50
+CONTAM_RATIO = 0.3
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), shingles AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+        FROM w WHERE len(ws) >= 3
+    ), bench AS (
+        SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shingles
+        WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY doc_id
+    ), hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_overlap
+        FROM shingles s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id % {BENCH_MOD} <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT h.doc_id, h.n_overlap, z.n_shingles,
+           CAST(h.n_overlap AS DOUBLE) / z.n_shingles AS overlap_ratio
+    FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
+    WHERE CAST(h.n_overlap AS DOUBLE) / z.n_shingles >= {CONTAM_RATIO}
+    """,
+    doc="Benchmark decontamination — the training-pipeline op that removes "
+    "corpus documents overlapping an eval set: 3-word shingles of the "
+    "benchmark slice (every 50th doc) form the contamination dictionary; "
+    "corpus docs whose distinct-shingle overlap ratio >= 0.3 are flagged "
+    "with their evidence counts. Scale shape: the benchmark dictionary is "
+    "SMALL BY NATURE (eval sets are fixed-size; explicitly broadcast — "
+    "this one is bounded, unlike a corpus-sized dictionary), so the filter "
+    "is one broadcast-semi-join over the exploded corpus shingles: the "
+    "100 TB corpus shuffles only its per-doc counts.",
+    tags=("dedup", "text"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles_from(docs)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    corpus_sh = sh.filter(~is_bench)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        hits.join(sizes, "doc_id")
+        .select("doc_id", "n_overlap", "n_shingles", ratio.alias("overlap_ratio"))
+        .filter(F.col("overlap_ratio") >= CONTAM_RATIO)
+    )
+
+
 @register(
     "q_corpus_prepare",
     oracle=f"""

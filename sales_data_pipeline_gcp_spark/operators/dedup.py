@@ -452,6 +452,156 @@ def spark_dot(a, b):
     )
 
 
+# --- sign-random-projection (hyperplane) LSH over embeddings --------------
+
+#: number of hyperplanes = bits in the LSH code. With 16 bits, a pair at
+#: cosine >= 0.8 collides on the FULL code with prob (1 - acos(0.8)/pi)^16
+#: ~ 2.5%; banded into 4x4-bit chunks (pigeonhole, as in SimHash blocking)
+#: the candidate recall at 0.8 is 1-(1-(1-acos(.8)/pi)^4)^4 ~ 93%.
+RP_PLANES = 16
+RP_CHUNKS = 4
+
+
+def _plane_signs() -> list[list[int]]:
+    """Deterministic +-1 hyperplane components from the shared md5 hash
+    family — reproducible in SQL-free Python here AND recomputed nowhere:
+    both engines consume the same literal sign table, so the oracle is
+    bit-identical by construction. (Same construction as hashing.py's
+    shared_hash: int(md5[:15], 16).)"""
+    import hashlib
+
+    def h(p: int, i: int) -> int:
+        return int(hashlib.md5(f"rp{p}:{i}".encode()).hexdigest()[:15], 16)
+
+    return [[1 if h(p, i) % 2 == 1 else -1 for i in range(EMBED_DIM)] for p in range(RP_PLANES)]
+
+
+_SIGNS = _plane_signs()
+
+
+def _rp_dot(vec_col, plane: list[int]):
+    """Signed projection: left-to-right double fold, matching _sql_rp_dot."""
+    signs = F.array(*[F.lit(float(s)) for s in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_rp_dot(vec: str, plane: list[int]) -> str:
+    lits = ", ".join(f"{s:.1f}" for s in plane)
+    return (
+        f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i]))"
+    )
+
+
+def rp_lsh_code(e: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Append the RP_PLANES-bit sign-LSH code as ``code`` (long). The code
+    is a pure narrow map — at 100 TB this is one pass, no shuffle."""
+    code = None
+    for p, plane in enumerate(_SIGNS):
+        bit = F.when(_rp_dot(F.col(vec), plane) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        code = bit if code is None else code + bit
+    return e.withColumn("code", code)
+
+
+@register(
+    "q_dedup_embedding_lsh",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET}, label,
+               list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        FROM embeddings WHERE vec_id < {N_PLANTED}
+    ), coded AS (
+        SELECT vec_id, embedding,
+               {' + '.join(
+                   f"(CASE WHEN {_sql_rp_dot('embedding', _SIGNS[p])} >= 0 "
+                   f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+                   for p in range(RP_PLANES)
+               )} AS code
+        FROM corpus
+    ), chunks AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, embedding, {c} AS chunk, "
+            f"(code >> {c * (RP_PLANES // RP_CHUNKS)}) & {(1 << (RP_PLANES // RP_CHUNKS)) - 1} AS chunk_val "
+            "FROM coded"
+            for c in range(RP_CHUNKS)
+        )}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           {_sql_dot('ea', 'eb')}
+             / (SQRT({_sql_dot('ea', 'ea')}) * SQRT({_sql_dot('eb', 'eb')})) AS cosine
+    FROM cand
+    WHERE {_sql_dot('ea', 'eb')}
+             / (SQRT({_sql_dot('ea', 'ea')}) * SQRT({_sql_dot('eb', 'eb')})) >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc=f"Embedding near-dup via sign-random-projection LSH — the 100 TB "
+    "path that q_dedup_embedding's label-blocking stands in for: "
+    f"{RP_PLANES} deterministic +-1 hyperplanes (shared md5 family -> same "
+    f"literal sign table in both engines) give each vector a {RP_PLANES}-bit "
+    f"code; {RP_CHUNKS}-chunk pigeonhole banding yields candidates (pairs "
+    "close in cosine agree on a chunk with high probability), exact cosine "
+    "verifies. No all-pairs join anywhere; the code is a narrow map and "
+    "candidates are bucket-joined. Planted scaled clones make the result "
+    "non-vacuous (a doubled vector projects to the identical code).",
+    tags=("dedup", "similarity", "flagship"),
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    clones = base.filter(F.col("vec_id") < N_PLANTED).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
+    )
+    coded = rp_lsh_code(base.unionByName(clones))
+
+    chunk_bits = RP_PLANES // RP_CHUNKS
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col("code"), c * chunk_bits).bitwiseAND((1 << chunk_bits) - 1)
+            for c in range(RP_CHUNKS)
+        ]
+    )
+    chunks = coded.select(
+        "vec_id", "embedding", F.posexplode(chunk_vals).alias("chunk", "chunk_val")
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    cosine = spark_dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(spark_dot(F.col("ea"), F.col("ea"))) * F.sqrt(spark_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        cand.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 @register(
     "q_dedup_embedding",
     oracle=f"""

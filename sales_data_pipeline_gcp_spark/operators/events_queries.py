@@ -64,6 +64,66 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SEC = 86_400
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, value,
+               epoch_ns(ts) // {NS_PER_SECOND} AS sec
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, value, sec,
+               CASE WHEN sec - LAG(sec) OVER w > {SESSION_GAP_SEC}
+                    OR LAG(sec) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), numbered AS (
+        SELECT user_id, event_id, value, sec,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*)        AS n_events,
+           MIN(sec)        AS start_sec,
+           MAX(sec)        AS end_sec,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc=f"Batch sessionization (gap > {SESSION_GAP_SEC}s starts a new "
+    "session): lag-flag + running-sum assigns session ids, then per-session "
+    "rollup — the batch twin of q_stream_session's event-time session "
+    "windows. Window order is value-deterministic ((sec, event_id) with "
+    "unique event_id), so session numbering is identical cross-engine. One "
+    "shuffle on user_id serves both windows AND the final group-by.",
+    tags=("events", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_gcp_spark.functions.exact import exact_sum
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.expr(f"ts div {NS_PER_SECOND}").alias("sec")
+    )
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    lag_sec = F.lag("sec").over(w)
+    is_start = F.when(lag_sec.isNull() | ((F.col("sec") - lag_sec) > SESSION_GAP_SEC), 1).otherwise(0)
+    numbered = ev.withColumn("is_start", is_start).withColumn(
+        "session_id", F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return numbered.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+        exact_sum("value", 2).alias("sum_value"),
+    )
+
+
 @register(
     "q_event_rates",
     oracle=f"""

@@ -109,6 +109,59 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+@register(
+    "q_outlier_zscore",
+    oracle=f"""
+    WITH sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sx,
+               CAST(SUM(CAST((value * 100) * (value * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxx
+        FROM events GROUP BY event_type
+    ), stats AS (
+        SELECT event_type, sx / n AS mean_value,
+               SQRT((sxx - sx * sx / n) / (n - 1)) AS std_value
+        FROM sums
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mean_value) / s.std_value AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mean_value) / s.std_value) > {Z_THRESHOLD}
+    """,
+    doc=f"Per-group z-score outlier detection (|z| > {Z_THRESHOLD} of "
+    "events.value within event_type): group stats from decimal-exact "
+    "integer-unit sums (same scale-0 rule as q_agg_stats -> bit-identical "
+    "mean/std cross-engine), joined back to the stream — the "
+    "aggregate-then-broadcast-join shape: the group-stats side is "
+    "group-cardinality-sized (tiny), so the event stream is scanned twice "
+    "but shuffled never.",
+    tags=("agg", "stats"),
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v_c = F.col("value") * 100
+    sums = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(dec(v_c, 0)).cast("double") / 1e2).alias("sx"),
+        (F.sum(dec(v_c * v_c, 0)).cast("double") / 1e4).alias("sxx"),
+    )
+    n, sx, sxx = (F.col(c) for c in ("n", "sx", "sxx"))
+    stats = sums.select(
+        "event_type",
+        (sx / n).alias("mean_value"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("std_value"),
+    )
+    z = (F.col("value") - F.col("mean_value")) / F.col("std_value")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
 @register(
     "q_relational_division",
     oracle="""

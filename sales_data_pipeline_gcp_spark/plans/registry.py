@@ -140,6 +140,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_json",
     # round-1 vacuous pass (0 rows), made non-vacuous this round
     "q_dedup_embedding",
+    # promoted rows-only -> full oracle (deterministic ANN is replayable)
+    "q_sim_ann_ivf",
+    # new round-2 operators
+    "q_dedup_embedding_lsh",
+    "q_decontaminate",
+    "q_knn_join",
+    "q_sessionize",
+    "q_outlier_zscore",
+    # slot 50: the flagship as a regression canary from the round-1 green set
+    "q_agg_group",
 )
 
 
