@@ -454,11 +454,17 @@ def spark_dot(a, b):
 
 # --- sign-random-projection (hyperplane) LSH over embeddings --------------
 
-#: number of hyperplanes = bits in the LSH code. With 16 bits, a pair at
-#: cosine >= 0.8 collides on the FULL code with prob (1 - acos(0.8)/pi)^16
-#: ~ 2.5%; banded into 4x4-bit chunks (pigeonhole, as in SimHash blocking)
-#: the candidate recall at 0.8 is 1-(1-(1-acos(.8)/pi)^4)^4 ~ 93%.
-RP_PLANES = 16
+#: number of hyperplanes = bits in the LSH code, banded into RP_CHUNKS
+#: chunks (8 bits each). Chunk width sets the candidate volume: random
+#: vectors spread over 2^8 = 256 buckets per chunk, so candidates are
+#: ~ n^2 * chunks / (2 * 256) — the width must grow with log2(n) to stay
+#: linear-ish (documented scale knob). Recall: a pair with cosine c agrees
+#: on one fixed bit with prob p = 1 - acos(c)/pi, on a chunk with p^8, on
+#: >= 1 of 4 chunks with 1-(1-p^8)^4 — ~1.0 for true duplicates (c -> 1,
+#: e.g. scaled copies collide with certainty), ~0.5 at c = 0.9. Production
+#: tunes bands/width/multi-probe per target threshold; the verification
+#: stage is exact either way.
+RP_PLANES = 32
 RP_CHUNKS = 4
 
 
