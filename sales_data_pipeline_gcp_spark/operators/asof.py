@@ -32,15 +32,24 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_time <= left_time`` within the same ``on`` key (NULLs when no
-    such row). ``right`` must be unique per (on, right_time) — dedup first
-    for determinism.
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: ``backward`` = greatest ``right_time <= left_time``,
+    ``forward`` = smallest ``right_time >= left_time`` (NULLs when no such
+    row). ``right`` must be unique per (on, right_time) — dedup first for
+    determinism.
+
+    Both directions are the same union+running-fill composition; forward
+    flips the side ordering (right rows sort AFTER left at equal times so
+    ``>=`` includes them) and fills with ``first`` over the FOLLOWING frame.
     """
-    l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__t", F.col(left_time))
+    backward = direction == "backward"
+    l_tagged = left.withColumn("__side", F.lit(1 if backward else 0)).withColumn(
+        "__t", F.col(left_time)
+    )
     r_tagged = (
-        right.withColumn("__side", F.lit(0))
+        right.withColumn("__side", F.lit(0 if backward else 1))
         .withColumn("__t", F.col(right_time))
         .select(on, "__side", "__t", *right_cols)
     )
@@ -60,13 +69,20 @@ def asof_join(
             *right_cols,
         )
     )
-    # right rows sort before left rows at equal time -> `<=` semantics
-    w = W.partitionBy(on).orderBy("__t", "__side").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ordered = W.partitionBy(on).orderBy("__t", "__side")
+    if backward:
+        # right rows sort before left at equal time -> `<=` inclusive
+        w = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+        fill = F.last
+    else:
+        # left rows (side 0) sort before right at equal time -> `>=` inclusive
+        w = ordered.rowsBetween(W.currentRow, W.unboundedFollowing)
+        fill = F.first
     filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols]
+        "*", *[fill(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols]
     )
     return (
-        filled.filter(F.col("__side") == 1)
+        filled.filter(F.col("__side") == (1 if backward else 0))
         .drop(*right_cols, "__side", "__t")
         .select(
             *[F.col(c) for c in l_cols],
@@ -126,4 +142,59 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"tns div {NS_PER_SECOND}").alias("purchase_sec"),
         F.col("view_event_id").alias("attributed_view"),
         F.expr(f"(tns - view_tns) div {NS_PER_SECOND}").alias("gap_sec"),
+    )
+
+
+@register(
+    "q_join_asof_fwd",
+    oracle=f"""
+    WITH views AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tns
+        FROM events WHERE event_type = 'view'
+    ), purchases AS (
+        SELECT user_id, epoch_ns(ts) AS tns, MAX(event_id) AS purchase_event_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_ns(ts)
+    )
+    SELECT v.event_id,
+           v.user_id,
+           v.tns // {NS_PER_SECOND}                          AS view_sec,
+           p.purchase_event_id                               AS next_purchase,
+           (p.tns - v.tns) // {NS_PER_SECOND}                AS wait_sec
+    FROM views v ASOF LEFT JOIN purchases p
+      ON v.user_id = p.user_id AND v.tns <= p.tns
+    """,
+    doc="Forward as-of join (view -> next purchase per user, i.e. "
+    "time-to-conversion): exercises asof_join(direction='forward'); the "
+    "oracle is DuckDB's native ASOF LEFT JOIN with a <= ordering condition "
+    "— independent implementations, same semantics.",
+    tags=("join", "asof"),
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("tns")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("ptns"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .withColumn("purchase_tns", F.col("ptns"))
+        .drop("ptns")
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="tns",
+        right_time="purchase_tns",
+        right_cols=["purchase_event_id", "purchase_tns"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr(f"tns div {NS_PER_SECOND}").alias("view_sec"),
+        F.col("purchase_event_id").alias("next_purchase"),
+        F.expr(f"(purchase_tns - tns) div {NS_PER_SECOND}").alias("wait_sec"),
     )

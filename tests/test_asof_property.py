@@ -31,12 +31,20 @@ def test_asof_matches_naive(spark, seed):
 
     ldf = spark.createDataFrame(left, "k long, lt long, lid long")
     rdf = spark.createDataFrame(right, "k long, rt long, rid long")
-    got = {
-        r.lid: r.rid
-        for r in asof_join(ldf, rdf, on="k", left_time="lt", right_time="rt", right_cols=["rid"]).collect()
-    }
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.rid
+            for r in asof_join(
+                ldf, rdf, on="k", left_time="lt", right_time="rt",
+                right_cols=["rid"], direction=direction,
+            ).collect()
+        }
 
-    for k, lt, lid in left:
-        cands = [(t, rid) for (rk, t, rid) in right if rk == k and t <= lt]
-        expected = max(cands)[1] if cands else None
-        assert got[lid] == expected, (seed, lid, got[lid], expected)
+        for k, lt, lid in left:
+            if direction == "backward":
+                cands = [(t, rid) for (rk, t, rid) in right if rk == k and t <= lt]
+                expected = max(cands)[1] if cands else None
+            else:
+                cands = [(t, rid) for (rk, t, rid) in right if rk == k and t >= lt]
+                expected = min(cands)[1] if cands else None
+            assert got[lid] == expected, (seed, direction, lid, got[lid], expected)
