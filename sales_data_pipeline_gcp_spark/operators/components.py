@@ -23,6 +23,7 @@ from sales_data_pipeline_gcp_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     lsh_candidate_pairs,
     minhash_signatures,
+    fan_out,
     shingles_from,
     verify_jaccard,
 )
@@ -120,7 +121,7 @@ _CLUSTERS_ORACLE = f"""
     tags=("dedup", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     sh = shingles_from(docs)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     pairs = verify_jaccard(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)

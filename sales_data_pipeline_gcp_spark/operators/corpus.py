@@ -25,6 +25,7 @@ from sales_data_pipeline_gcp_spark.operators.dedup import (
     _minhash_sql,
     lsh_candidate_pairs,
     minhash_signatures,
+    fan_out,
     shingles_from,
     verify_jaccard,
 )
@@ -113,7 +114,7 @@ CONTAM_RATIO = 0.3
     tags=("dedup", "text"),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     sh = shingles_from(docs)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = sh.filter(is_bench).select("shingle").distinct()
@@ -182,6 +183,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "text", "flagship"),
 )
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     corpus = near_dedup_docs(exact_dedup_docs(quality_gate(docs)))
     return corpus.select("doc_id", "lang", "n_tokens")

@@ -66,6 +66,18 @@ shingles AS (
 """
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Give CPU-heavy explode/hash stages at least session-parallelism
+    tasks. A sub-MB parquet file arrives as ONE input split, so everything
+    downstream of the scan (shingle explode, k md5s per occurrence)
+    serializes on one core in whole-stage codegen — AQE cannot help because
+    there is no shuffle to adapt. Repartition ONLY when the scan is
+    narrower than the default parallelism: at cluster scale the input has
+    thousands of splits and this is a no-op (zero added shuffle)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def shingles_from(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) with distinct 3-word shingles from any DataFrame
     with (doc_id, text) — DataFrame twin of ``_SHINGLES_SQL``. Guard
@@ -83,7 +95,7 @@ def shingles_from(docs: DataFrame) -> DataFrame:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shingles_from(load(spark, sf_dir, "documents"))
+    return shingles_from(fan_out(load(spark, sf_dir, "documents")))
 
 
 _JACCARD_PAIRS_SQL = f"""
@@ -189,25 +201,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id -> mh_0..mh_{k-1}: min over shingles of k seeded hashes.
 
-    The k md5-based hashes are computed once per DISTINCT shingle
-    (dictionary-encoding the hash) and joined back to the occurrences — at
-    corpus scale the distinct-shingle dimension is orders of magnitude
-    smaller than the occurrence stream, so this trades ~24M hash
-    evaluations for one dictionary join. One aggregation computes all k
-    mins in the same pass.
+    The k hashes are computed INLINE per occurrence row — a map-side-only
+    projection inside whole-stage codegen — and all k mins fold in one
+    partially-aggregated groupBy. Total cost: one shuffle, keyed by doc_id,
+    carrying k longs per doc after map-side combine.
 
-    No forced broadcast: the distinct-shingle dictionary grows with the
-    corpus (at 100 TB it is far beyond any broadcast budget), so the hint
-    would OOM the driver. Left unhinted, AQE size-gates the strategy at
-    runtime — broadcast-hash when the measured dictionary is small (as in
-    the fixtures), shuffle-hash/sort-merge on the shingle key beyond that."""
-    hashes = sh.select("shingle").distinct().select(
-        "shingle",
+    The tempting alternative (dictionary-encode: hash each DISTINCT shingle
+    once, join back) is strictly worse at scale: the dictionary is
+    unbounded at 100 TB so it cannot be broadcast, and a shuffle join on
+    the shingle key moves the whole occurrence stream through an extra
+    exchange just to save re-hashing — md5 per row is cheaper than a
+    shuffle per row, and the scale deployment swaps in xxhash64 anyway
+    (functions/hashing.py scale note)."""
+    hashed = sh.select(
+        "doc_id",
         *[shared_hash(F.col("shingle"), f"mh{i}:").alias(f"h_{i}") for i in range(NUM_HASHES)],
     )
-    joined = sh.join(hashes, "shingle")
     aggs = [F.min(F.col(f"h_{i}")).alias(f"mh_{i}") for i in range(NUM_HASHES)]
-    return joined.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -374,15 +385,13 @@ def _simhash_sql() -> str:
     tags=("dedup",),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     tokens = docs.select("doc_id", F.explode(ws).alias("token")).distinct()
-    # dictionary-encode the hash: one md5 per distinct token, joined back.
-    # No forced broadcast — the token dictionary is unbounded at corpus
-    # scale; AQE picks broadcast only when the runtime size allows it
-    # (see minhash_signatures).
-    tok_hash = tokens.select("token").distinct().select("token", shared_hash(F.col("token")).alias("h"))
-    votes = tokens.join(tok_hash, "token").select("doc_id", "h").groupBy("doc_id").agg(
+    # hash inline, map-side (see minhash_signatures: a dictionary join
+    # either needs an unbounded broadcast or an extra occurrence-stream
+    # shuffle — both worse than re-hashing in codegen)
+    votes = tokens.select("doc_id", shared_hash(F.col("token")).alias("h")).groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
