@@ -100,22 +100,14 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by definition; error bounds gated in tests
     doc="Approximate aggregates — the 100 TB path for distincts/quantiles "
     "on heavy groups: approx_count_distinct (HyperLogLog++) and "
-    "approx_percentile (KLL-ish sketch). tests/test_approx.py bounds the "
-    "error against exact answers.",
+    "approx_percentile (KLL-ish sketch). Sketches only — the exact "
+    "versions this replaces would pay a sort-based object aggregate; "
+    "tests/test_approx.py bounds the sketch error against exact answers.",
     tags=("agg", "approx"),
 )
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sketch aggs and exact aggs are SEPARATE aggregations joined on the
-    # group key: mixing object-backed sketches (HLL, KLL) with expanded
-    # COUNT(DISTINCT) in one agg forces a sort-based object-aggregate
-    # fallback that is ~30x slower; two hash aggs + a 3-row join is free
     li = load(spark, sf_dir, "lineitem")
-    approx = li.groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
-    )
-    return approx.join(exact, "l_returnflag")
