@@ -573,7 +573,7 @@ def rp_lsh_code(e: DataFrame, vec: str = "embedding") -> DataFrame:
     tags=("dedup", "similarity", "flagship"),
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    base = fan_out(load(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
     clones = base.filter(F.col("vec_id") < N_PLANTED).select(
         (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         "label",
@@ -606,14 +606,18 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.embedding").alias("ea"),
             F.col("b.embedding").alias("eb"),
         )
-        .distinct()
     )
+    # cosine BEFORE the dedup of multi-chunk candidates: it is deterministic
+    # per pair, and distinct over 3 scalars shuffles ~40x fewer bytes than
+    # distinct over two 64-float arrays (a pair collides in <= RP_CHUNKS
+    # chunks, so the <= 4x recompute of a 64-mult dot is the cheap side)
     cosine = spark_dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(spark_dot(F.col("ea"), F.col("ea"))) * F.sqrt(spark_dot(F.col("eb"), F.col("eb")))
     )
     return (
         cand.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .distinct()
     )
 
 
