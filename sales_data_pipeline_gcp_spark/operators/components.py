@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from sales_data_pipeline_gcp_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     lsh_candidate_pairs,
+    materialize,
     minhash_signatures,
     fan_out,
     shingles_from,
@@ -122,8 +123,12 @@ _CLUSTERS_ORACLE = f"""
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
-    sh = shingles_from(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    # same materialization contract as q_dedup_minhash: sh and sig each
+    # feed multiple branches; the propagation loop then checkpoints its
+    # own state (connected_components)
+    sh = materialize(shingles_from(docs))
+    sig = materialize(minhash_signatures(sh))
+    cand = lsh_candidate_pairs(sig)
     pairs = verify_jaccard(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     comp = connected_components(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
     return comp.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

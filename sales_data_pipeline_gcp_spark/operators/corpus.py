@@ -24,6 +24,7 @@ from sales_data_pipeline_gcp_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _minhash_sql,
     lsh_candidate_pairs,
+    materialize,
     minhash_signatures,
     fan_out,
     shingles_from,
@@ -57,9 +58,15 @@ def exact_dedup_docs(docs: DataFrame) -> DataFrame:
 
 def near_dedup_docs(docs: DataFrame) -> DataFrame:
     """Remove the higher doc_id of every verified near-dup pair
-    (MinHash-LSH candidates, exact-Jaccard verified)."""
-    sh = shingles_from(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    (MinHash-LSH candidates, exact-Jaccard verified).
+
+    ``docs`` feeds the shingle pipeline AND the final anti-join; ``sh``
+    feeds signatures AND 3 verify branches; ``sig`` feeds both band-join
+    sides — each is materialized once so no upstream stage re-executes."""
+    docs = materialize(docs)
+    sh = materialize(shingles_from(docs))
+    sig = materialize(minhash_signatures(sh))
+    cand = lsh_candidate_pairs(sig)
     dups = (
         verify_jaccard(cand, sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -115,7 +122,8 @@ CONTAM_RATIO = 0.3
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
-    sh = shingles_from(docs)
+    # sh feeds the bench dictionary, sizes, and the hits join — 3 branches
+    sh = materialize(shingles_from(docs))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = sh.filter(is_bench).select("shingle").distinct()
     corpus_sh = sh.filter(~is_bench)
@@ -184,5 +192,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
-    corpus = near_dedup_docs(exact_dedup_docs(quality_gate(docs)))
+    # the quality gate's explode+filter feeds exact_dedup's two branches
+    # (survivor agg + semi join) — materialize so it runs once; the
+    # post-exact-dedup corpus is materialized inside near_dedup_docs
+    q = materialize(quality_gate(docs))
+    corpus = near_dedup_docs(exact_dedup_docs(q))
     return corpus.select("doc_id", "lang", "n_tokens")

@@ -73,9 +73,33 @@ def fan_out(df: DataFrame) -> DataFrame:
     serializes on one core in whole-stage codegen — AQE cannot help because
     there is no shuffle to adapt. Repartition ONLY when the scan is
     narrower than the default parallelism: at cluster scale the input has
-    thousands of splits and this is a no-op (zero added shuffle)."""
+    thousands of splits and this is a no-op (zero added shuffle).
+
+    Split count is estimated from ``inputFiles()`` — NOT ``df.rdd``, which
+    would build the Python RDD conversion of the scan on every call. The
+    file count under-estimates splits for multi-split files (>128 MB), but
+    the only decision here is "is the scan narrower than the session?",
+    and any input wide enough to mis-estimate is already wide enough."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    return df.repartition(n) if len(df.inputFiles()) < n else df
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut a reused subtree out of every downstream branch: eager
+    ``localCheckpoint`` computes it ONCE and replaces the lineage with the
+    stored partitions. Spark does no cross-branch subtree reuse, so without
+    this the LSH self-joins execute the signature stage on BOTH sides and
+    ``verify_jaccard`` re-derives the shingle explode up to 4 more times —
+    the most expensive stage of the pipeline running 2-6x (the round-2
+    bench outlier's structural amplifier).
+
+    Scale note: signatures are one row per doc x k longs (tiny); the
+    shingle stream is corpus-sized but localCheckpoint storage is
+    MEMORY_AND_DISK — disk-backed replay of an exploded column is strictly
+    less work than recomputing the explode+hash stage per branch. On a real
+    cluster ``checkpoint()`` to HDFS/object storage survives executor loss;
+    localCheckpoint is the single-node analog."""
+    return df.localCheckpoint(eager=True)
 
 
 def shingles_from(docs: DataFrame) -> DataFrame:
@@ -189,7 +213,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
+    # sh feeds 3 branches (sizes, both join sides) — materialize once
+    sh = materialize(doc_shingles(spark, sf_dir))
     return jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -326,8 +351,11 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     tags=("dedup", "flagship"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
-    sig = minhash_signatures(sh)
+    # sh feeds the signature pipeline AND 3 verify_jaccard branches; sig
+    # feeds both sides of the band self-join — materialize each once so
+    # the 16-hash stage and the shingle explode run exactly once
+    sh = materialize(doc_shingles(spark, sf_dir))
+    sig = materialize(minhash_signatures(sh))
     cand = lsh_candidate_pairs(sig)
     return verify_jaccard(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
@@ -403,7 +431,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(SIMHASH_BITS):
         term = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
-    sim = votes.select("doc_id", simhash.alias("simhash"))
+    # one row per doc; feeds both sides of the chunk self-join — without
+    # this the token explode + 32 bit-vote aggs execute twice
+    sim = materialize(votes.select("doc_id", simhash.alias("simhash")))
 
     chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
     # one posexplode pass over all chunks (see lsh_candidate_pairs)
@@ -579,7 +609,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
     )
-    coded = rp_lsh_code(base.unionByName(clones))
+    # 32x64 dot products per row is the dominant cost; coded feeds both
+    # sides of the chunk self-join — materialize so coding runs once
+    coded = materialize(rp_lsh_code(base.unionByName(clones)))
 
     chunk_bits = RP_PLANES // RP_CHUNKS
     chunk_vals = F.array(
@@ -659,8 +691,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # norms are computed ONCE per vector before the self-join (the oracle
     # recomputes them per pair — identical doubles, 2x fewer dot products)
-    e = base.unionByName(clones).withColumn(
-        "norm", F.sqrt(spark_dot(F.col("embedding"), F.col("embedding")))
+    e = materialize(
+        base.unionByName(clones).withColumn(
+            "norm", F.sqrt(spark_dot(F.col("embedding"), F.col("embedding")))
+        )
     )
     a = e.alias("a")
     b = e.alias("b")
