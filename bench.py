@@ -8,6 +8,12 @@ Each query is materialized with the noop sink (full execution, no driver
 collect). First run of each query includes JVM/codegen warmup; a shared
 warmup query amortizes session start so per-query numbers reflect plan
 execution.
+
+Each query's reported time is the MEDIAN of 3 steady-state runs (after an
+untimed warmup run): a single timed run on a shared box can be doubled —
+or sixteen-folded, as one round-2 entry was — by one GC pause or a
+neighbor's burst. The per-run values are kept in the JSON (``runs``) so
+variance stays visible.
 """
 
 from __future__ import annotations
@@ -15,8 +21,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+RUNS_PER_QUERY = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -44,12 +53,18 @@ def main() -> None:
     materialize(all_q["q_agg_group"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, q in sorted(all_q.items()):
-        # first run pays codegen/compile; report the steady-state second run
+        # first run pays codegen/compile; time RUNS_PER_QUERY steady-state
+        # runs and report the median (outlier-proof official record)
         materialize(q.fn(spark, sf_dir))
-        t0 = time.perf_counter()
-        materialize(q.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, sf_dir))
+            samples.append(round(time.perf_counter() - t0, 4))
+        runs[name] = samples
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -59,6 +74,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

@@ -78,16 +78,20 @@ def asof_join(
         # left rows (side 0) sort before right at equal time -> `>=` inclusive
         w = ordered.rowsBetween(W.currentRow, W.unboundedFollowing)
         fill = F.first
-    filled = unioned.select(
-        "*", *[fill(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_cols]
+    # Fill ONE struct that is non-NULL exactly on right-side rows, then
+    # project its fields: per-column fills would skip past a right row for
+    # any column that is legitimately NULL in it, stitching the result from
+    # DIFFERENT right rows — native ASOF semantics are row-atomic.
+    right_side = 0 if backward else 1
+    packed = F.when(
+        F.col("__side") == right_side, F.struct(*[F.col(c) for c in right_cols])
     )
-    return (
-        filled.filter(F.col("__side") == (1 if backward else 0))
-        .drop(*right_cols, "__side", "__t")
-        .select(
-            *[F.col(c) for c in l_cols],
-            *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
-        )
+    filled = unioned.select(
+        "*", fill(packed, ignorenulls=True).over(w).alias("__asof")
+    )
+    return filled.filter(F.col("__side") == (1 if backward else 0)).select(
+        *[F.col(c) for c in l_cols],
+        *[F.col(f"__asof.{c}").alias(c) for c in right_cols],
     )
 
 

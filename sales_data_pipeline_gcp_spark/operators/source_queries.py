@@ -23,13 +23,20 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from sales_data_pipeline_gcp_spark.io import read_json, read_sales_csv
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
-FIXTURE_DIR = "/tmp/spark_graft_scan_fixtures"
+#: Per-user fixture directory (created 0700): a fixed world-readable /tmp
+#: name could be pre-created or symlinked by another local user, and two
+#: concurrent runs of different users would race on the same files.
+FIXTURE_DIR = os.path.join(
+    tempfile.gettempdir(),
+    f"spark_graft_scan_fixtures_{getattr(os, 'getuid', lambda: 'u')()}",
+)
 CSV_PATH = os.path.join(FIXTURE_DIR, "sales_scan_seed21.csv")
 JSON_PATH = os.path.join(FIXTURE_DIR, "events_scan.jsonl")
 CSV_ROWS = 200
@@ -37,19 +44,58 @@ CSV_SEED = 21
 JSON_ROWS = 100
 
 
+def _install(path: str, content: bytes) -> None:
+    """Atomically install ``content`` at ``path``: skip when the on-disk
+    bytes already match (so a concurrent DuckDB oracle read of the same
+    absolute path never observes a truncated rewrite), else write to a
+    temp name and os.rename into place (atomic on POSIX)."""
+    try:
+        with open(path, "rb") as f:
+            if f.read() == content:
+                return
+    except OSError:
+        pass
+    fd, tmp = tempfile.mkstemp(dir=FIXTURE_DIR, prefix=os.path.basename(path) + ".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(content)
+        os.rename(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def ensure_scan_fixtures() -> None:
-    """Write the deterministic scan fixtures to their fixed paths
-    (idempotent; re-written each import so content can never drift)."""
+    """Materialize the deterministic scan fixtures (idempotent, atomic;
+    called lazily from the query functions — no import-time I/O)."""
     from sales_data_pipeline_gcp_spark.sources.sales import generate_rows, write_csv
 
-    os.makedirs(FIXTURE_DIR, exist_ok=True)
-    write_csv(CSV_PATH, generate_rows(CSV_ROWS, seed=CSV_SEED))
-    with open(JSON_PATH, "w") as f:
-        for i in range(JSON_ROWS):
-            f.write(json.dumps({"id": i, "kind": "k" + str(i % 3), "score": i / 10.0}) + "\n")
-        f.write('{"id": "not-an-int", "kind": "bad"}\n')  # malformed -> partial NULLs
+    os.makedirs(FIXTURE_DIR, mode=0o700, exist_ok=True)
+
+    csv_tmp = os.path.join(FIXTURE_DIR, f"__gen-{os.getpid()}.csv")
+    write_csv(csv_tmp, generate_rows(CSV_ROWS, seed=CSV_SEED))
+    try:
+        with open(csv_tmp, "rb") as f:
+            csv_bytes = f.read()
+    finally:
+        os.unlink(csv_tmp)
+    _install(CSV_PATH, csv_bytes)
+
+    lines = [
+        json.dumps({"id": i, "kind": "k" + str(i % 3), "score": i / 10.0}) + "\n"
+        for i in range(JSON_ROWS)
+    ]
+    lines.append('{"id": "not-an-int", "kind": "bad"}\n')  # malformed -> partial NULLs
+    _install(JSON_PATH, "".join(lines).encode())
 
 
+# The oracle SQL embeds these absolute paths and the harness may execute
+# the DuckDB side before the Spark query function runs, so the fixtures
+# must exist as soon as the registry is importable. With the content-match
+# skip this is one small read per import, not a rewrite.
 ensure_scan_fixtures()
 
 _CSV_COLUMNS = (

@@ -179,11 +179,15 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    n_pr = o.select("o_orderpriority").distinct().count()  # tiny driver scalar
+    # the divisor cardinality stays IN the query as a broadcast scalar
+    # aggregate (one row) — a driver-side .count() here would run a second
+    # full scan of orders before the real job even starts
+    divisor = o.select("o_orderpriority").distinct().agg(F.count("*").alias("__n_pr"))
     return (
         o.select("o_custkey", "o_orderpriority")
         .distinct()
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.count("*").alias("n_priorities"))
-        .filter(F.col("n_priorities") == n_pr)
+        .join(F.broadcast(divisor), F.col("n_priorities") == F.col("__n_pr"))
+        .select("c_custkey", "n_priorities")
     )

@@ -65,6 +65,12 @@ def rollup_sink(
     spark = stream.sparkSession
     keys = ["grain_sec", "bucket_start", "event_type"]
     old_dir = snapshot_dir + ".old"
+    # epoch ids are scoped to a checkpoint lineage; normalize the path so
+    # relative/trailing-slash spellings of the same checkpoint don't defeat
+    # replay detection and re-apply an epoch
+    import os as _os
+
+    checkpoint_dir = _os.path.abspath(checkpoint_dir)
 
     def _applied_epochs(path: str) -> set[int]:
         # epoch ids are unique only within one checkpoint lineage, so the
@@ -80,6 +86,7 @@ def rollup_sink(
         return set()
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        import glob
         import json
         import os
         import shutil
@@ -88,6 +95,11 @@ def rollup_sink(
         # current; the previous generation is still intact — restore it
         if not os.path.isdir(snapshot_dir) and os.path.isdir(old_dir):
             os.rename(old_dir, snapshot_dir)
+        # a crash between staging write and swap leaves .staging-{epoch}
+        # dirs behind; they are never the live generation, so always safe
+        # to drop (prevents unbounded orphan accumulation across failures)
+        for stale in glob.glob(snapshot_dir + ".staging-*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
         applied = _applied_epochs(snapshot_dir) if os.path.isdir(snapshot_dir) else set()
         if epoch_id in applied:
