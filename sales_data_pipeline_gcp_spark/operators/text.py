@@ -302,3 +302,71 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("token").alias("top_token"), "tfidf")
     )
+
+
+#: intra-document repetition gate (the Gopher/C4-style quality rule:
+#: documents dominated by repeated n-grams are boilerplate/spam)
+REP_NGRAM_WORDS = 3
+REP_MAX_DUP_RATIO = 0.1
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(ws) - {REP_NGRAM_WORDS - 2}),
+                   i -> array_to_string(ws[i:i+{REP_NGRAM_WORDS - 1}], ' '))) AS gram
+        FROM w WHERE len(ws) >= {REP_NGRAM_WORDS}
+    ), cnt AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_ratio,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               <= {REP_MAX_DUP_RATIO} AS keep
+    FROM cnt GROUP BY doc_id
+    """,
+    doc=f"Intra-document repetition scoring: the fraction of {REP_NGRAM_WORDS}-gram "
+    "occurrences belonging to a gram repeated within the SAME document "
+    "(non-distinct grams, unlike the dedup shingles) — the standard "
+    "boilerplate/spam quality gate for training corpora. Pipeline: "
+    "explode grams -> count per (doc, gram) -> per-doc totals; both "
+    "shuffles are keyed by doc_id(+gram), so the corpus streams through "
+    "narrowly and no stage sees more than one document's gram multiset. "
+    "The ratio is an exact int/int -> double division (bit-identical "
+    "cross-engine); keep gate at dup_ratio <= "
+    f"{REP_MAX_DUP_RATIO} is non-vacuous on the fixture (max ~0.14).",
+    tags=("text",),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = _words()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (REP_NGRAM_WORDS - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, REP_NGRAM_WORDS)),
+    )
+    cnt = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= REP_NGRAM_WORDS)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"), dup.alias("n_dup_ngrams")
+    )
+    ratio = F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams")
+    return per.select(
+        "doc_id",
+        "n_ngrams",
+        "n_dup_ngrams",
+        ratio.alias("dup_ratio"),
+        (ratio <= REP_MAX_DUP_RATIO).alias("keep"),
+    )

@@ -9,9 +9,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_sum
+from sales_data_pipeline_gcp_spark.functions.exact import dec, exact_sum, sql_sum
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.plans.registry import register
+
+
+@register(
+    "q_tpch_q1_pricing",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_sum('l_quantity', 2)}      AS sum_qty,
+           {sql_sum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+           {sql_sum('l_quantity', 2)} / COUNT(l_quantity)           AS avg_qty,
+           {sql_sum('l_extendedprice', 2)} / COUNT(l_extendedprice) AS avg_price,
+           {sql_sum('l_discount', 2)} / COUNT(l_discount)           AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape (pricing summary report): one full-fact-table scan, "
+    "date filter pushed to the parquet scan, 8 aggregates over 2 grouping "
+    "keys — partial aggregation collapses everything map-side, so the "
+    "shuffle carries |groups| x |aggs| values per partition regardless of "
+    "data size (the canonical 100 TB-friendly aggregate). Exactness: each "
+    "product is accumulated at the scale that represents it exactly "
+    "(quantity/price 2, disc_price 4, charge 6); charge's exact sum "
+    "overflows the 2^53 decimal->double safety bound at scale 6, so it is "
+    "ROUNDed to 2 decimals AS A DECIMAL first — Spark round and DuckDB "
+    "ROUND both round half away from zero (verified), and the rounded "
+    "unscaled value is back inside exact-double range.",
+    tags=("flagship", "tpch"),
+)
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            F.round(F.sum(dec(charge, 6)), 2).cast("double").alias("sum_charge"),
+            (exact_sum("l_quantity", 2) / F.count("l_quantity")).alias("avg_qty"),
+            (exact_sum("l_extendedprice", 2) / F.count("l_extendedprice")).alias("avg_price"),
+            (exact_sum("l_discount", 2) / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
 
 
 @register(

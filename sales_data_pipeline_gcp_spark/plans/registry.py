@@ -96,6 +96,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never driver-adjudicated in any round
     "q_join_asof_fwd",       # added after the round-2 window was full
     "q_agg_approx_bounds",   # new round 3: oracled bound-check twin of q_agg_approx
+    "q_tpch_q1_pricing",     # new round 3: pricing-summary aggregate
+    "q_text_repetition",     # new round 3: intra-doc repetition quality gate
     # perf-/plan-touched this round -> re-confirm (subtree materialization,
     # in-query divisor)
     "q_dedup_minhash",
@@ -132,10 +134,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_project_cast",
     "q_rollup_hierarchy",
     "q_set_intersect_except",
-    "q_set_union",
+    # (q_set_union rotated out to fit q_tpch_q1_pricing: untouched since
+    # its r1 green row, and the local parity suite regression-covers it)
     "q_sim_topk",
     "q_sort_multi",
-    "q_stream_session",
+    # (q_stream_session rotated out to fit q_text_repetition: untouched
+    # since its r1 green row; its tumbling/sliding siblings stay in)
     "q_stream_sliding",
     "q_stream_tumbling",
     "q_string_scalars",

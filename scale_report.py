@@ -9,6 +9,7 @@ Usage: python scale_report.py   (prints a markdown table)
 
 from __future__ import annotations
 
+import statistics
 import time
 
 from sales_data_pipeline_gcp_spark.plans import registry
@@ -16,12 +17,19 @@ from sales_data_pipeline_gcp_spark.session import get_spark
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 QUERIES = [
-    "q_agg_group",        # scan + agg
-    "q_join_star",        # multi-join
-    "q_window_frame",     # window
-    "q_dedup_minhash",    # LSH pipeline
-    "q_corpus_prepare",   # composed funnel
-    "q_stream_tumbling",  # event-time agg
+    "q_agg_group",            # scan + agg
+    "q_join_star",            # multi-join
+    "q_window_frame",         # window
+    "q_dedup_minhash",        # LSH pipeline
+    "q_corpus_prepare",       # composed funnel
+    "q_stream_tumbling",      # event-time agg
+    # dedup/similarity family whose 100 TB claims rest on candidate-set
+    # linearity — a superlinear column here is the early warning this
+    # report exists for
+    "q_dedup_embedding_lsh",  # sign-RP LSH over embeddings
+    "q_knn_join",             # broadcast query batch + rank window
+    "q_sim_ann_ivf",          # IVF assign/probe/re-rank
+    "q_decontaminate",        # eval-set dictionary semi-join
 ]
 
 
@@ -34,9 +42,12 @@ def main() -> None:
         times = []
         for sf in SFS:
             fn(spark, sf).write.format("noop").mode("overwrite").save()  # warm
-            t0 = time.perf_counter()
-            fn(spark, sf).write.format("noop").mode("overwrite").save()
-            times.append(time.perf_counter() - t0)
+            samples = []
+            for _ in range(3):  # median-of-3: ratios are noise-sensitive
+                t0 = time.perf_counter()
+                fn(spark, sf).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            times.append(statistics.median(samples))
         r1 = times[1] / times[0]
         r2 = times[2] / times[1]
         print(
