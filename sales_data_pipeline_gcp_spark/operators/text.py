@@ -370,3 +370,74 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("dup_ratio"),
         (ratio <= REP_MAX_DUP_RATIO).alias("keep"),
     )
+
+
+#: PII patterns — deliberately in the regex subset where Java regex (Spark)
+#: and RE2 (DuckDB) agree: literal classes, bounded quantifiers, no
+#: backrefs/lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_PHONE = r"\d{3}-\d{4}"
+#: the fixture corpus contains no PII, so the declared query unions planted
+#: rows (same pattern as q_dedup_embedding's clones) to keep the check
+#: non-vacuous: counts and the redacted-text fingerprint must both match.
+REDACT_PLANT = " contact bob@example.com or https://ex.example.org/p?q=1 call 555-0100"
+N_REDACT_PLANTED = 5
+REDACT_OFFSET = 2_000_000
+
+_REDACT_SQL_EXPR = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{PII_URL}', '<URL>', 'g'), "
+    f"'{PII_PHONE}', '<PHONE>', 'g')"
+)
+
+
+@register(
+    "q_text_redact",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {REDACT_OFFSET}, text || ' {REDACT_PLANT.strip()}'
+        FROM documents WHERE doc_id < {N_REDACT_PLANTED}
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_URL}'))   AS INTEGER) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INTEGER) AS n_phones,
+           md5({_REDACT_SQL_EXPR}) AS redacted_fp
+    FROM corpus
+    """,
+    doc="PII detection + redaction — the scrubbing pass every training "
+    "corpus runs before tokenization: count emails/URLs/phone patterns per "
+    "document and fingerprint the redacted text (md5 proves the "
+    "replacement output byte-identical cross-engine, not just the counts). "
+    "Pure narrow map — one pass, no shuffle, trivially 100 TB-safe. "
+    "Patterns live in the Java-regex/RE2 common subset; planted rows make "
+    "the counts non-zero.",
+    tags=("text",),
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = d.filter(F.col("doc_id") < N_REDACT_PLANTED).select(
+        (F.col("doc_id") + REDACT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + REDACT_PLANT.strip())).alias("text"),
+    )
+    corpus = d.unionByName(plant)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return corpus.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_URL)).cast("int").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )

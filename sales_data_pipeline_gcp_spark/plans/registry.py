@@ -98,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_agg_approx_bounds",   # new round 3: oracled bound-check twin of q_agg_approx
     "q_tpch_q1_pricing",     # new round 3: pricing-summary aggregate
     "q_text_repetition",     # new round 3: intra-doc repetition quality gate
+    "q_text_redact",         # new round 3: PII detect/redact with planted rows
     # perf-/plan-touched this round -> re-confirm (subtree materialization,
     # in-query divisor)
     "q_dedup_minhash",
@@ -138,9 +139,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # its r1 green row, and the local parity suite regression-covers it)
     "q_sim_topk",
     "q_sort_multi",
-    # (q_stream_session rotated out to fit q_text_repetition: untouched
-    # since its r1 green row; its tumbling/sliding siblings stay in)
-    "q_stream_sliding",
+    # (q_stream_session / q_stream_sliding rotated out to fit
+    # q_text_repetition / q_text_redact: untouched since their r1 green
+    # rows; q_stream_tumbling stays in as the family representative)
     "q_stream_tumbling",
     "q_string_scalars",
     "q_text_fingerprint",
