@@ -141,6 +141,104 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Line-level exact dedup (the C4-style rule: drop every line whose exact
+#: text already appeared anywhere in the corpus, keeping the first
+#: occurrence by (doc_id, position)). The fixture corpus has no newlines,
+#: so "lines" are deterministic 10-word chunks of each document, and
+#: planted full-clone docs guarantee cross-document duplicate lines.
+LINE_WORDS = 10
+LINEDUP_OFFSET = 3_000_000
+N_LINEDUP_PLANTED = 8
+
+
+@register(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {LINEDUP_OFFSET}, text
+        FROM documents WHERE doc_id < {N_LINEDUP_PLANTED}
+    ), w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM corpus
+    ), lined AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, CAST(ceil(len(ws) / {LINE_WORDS}.0) AS BIGINT) + 1),
+                   i -> array_to_string(
+                       ws[(i-1)*{LINE_WORDS}+1 : i*{LINE_WORDS}], ' ')) AS ls
+        FROM w WHERE len(ws) >= 1
+    ), ex AS (
+        SELECT doc_id, generate_subscripts(ls, 1) AS pos, UNNEST(ls) AS line
+        FROM lined
+    ), ranked AS (
+        SELECT doc_id, pos, line,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM ex
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                                   ' ' ORDER BY pos), '')) AS kept_fp
+    FROM ranked GROUP BY doc_id
+    """,
+    doc=f"Line-level exact dedup (C4-style): corpus-global duplicate-line "
+    "removal keeping the first occurrence by (doc_id, position), then "
+    "per-doc reassembly — the web-corpus boilerplate killer (nav bars, "
+    "cookie banners repeat across millions of pages). Lines are "
+    f"deterministic {LINE_WORDS}-word chunks (fixture has no newlines); "
+    "planted clone docs make the cross-doc dedup non-vacuous, and the "
+    "reassembled md5 fingerprint proves the KEPT content byte-identical, "
+    "not just the counts. Scale shape: explode -> window keyed BY LINE "
+    "(first-occurrence rank; duplicate groups are tiny so no skew) -> "
+    "re-agg keyed by doc_id — two keyed shuffles, both linear in corpus "
+    "line count; no dictionary, no broadcast, no driver state.",
+    tags=("dedup", "text"),
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    plant = d.filter(F.col("doc_id") < N_LINEDUP_PLANTED).select(
+        (F.col("doc_id") + LINEDUP_OFFSET).alias("doc_id"), "text"
+    )
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    docs = (
+        d.unionByName(plant)
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 1)
+    )
+    n_lines = F.ceil(F.size("ws") / F.lit(float(LINE_WORDS))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), (i - 1) * LINE_WORDS + 1, LINE_WORDS)),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(lines).alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    ranked = ex.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("line").orderBy(F.col("doc_id").asc(), F.col("pos").asc())
+        ),
+    )
+    kept_struct = F.when(F.col("rn") == 1, F.struct(F.col("pos"), F.col("line")))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+
+
 @register(
     "q_corpus_prepare",
     oracle=f"""

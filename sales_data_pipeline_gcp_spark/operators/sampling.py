@@ -60,6 +60,81 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", STRATA_RATES, seed=42).select("doc_id", "lang", "n_chars")
 
 
+#: Target language mixture for q_domain_mix — the corpus-composition
+#: weights a training run pins (e.g. upweighting English): each stratum is
+#: downsampled (never upsampled) so the OUTPUT proportions hit the target
+#: exactly, with the kept rows chosen deterministically by key-hash rank.
+MIX_TARGET = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET.items())
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+    WITH tgt(lang, share) AS (VALUES {_MIX_VALUES}),
+    cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    scale AS (SELECT MIN(c / share) AS s FROM cnt JOIN tgt USING (lang)),
+    quota AS (
+        SELECT lang, CAST(FLOOR(share * (SELECT s FROM scale)) AS BIGINT)
+               AS n_keep
+        FROM tgt
+    ),
+    ranked AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {sql_shared_hash("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source, r.n_chars
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rn <= q.n_keep
+    """,
+    doc="Domain/language mixture resampling — the corpus-composition op: "
+    "given target proportions per stratum, downsample each stratum to an "
+    "EXACT per-stratum quota (the largest output achievable without "
+    "upsampling: scale = min over strata of count/share), keeping the "
+    "docs with the smallest key-hash — deterministic, reproducible, and "
+    "stable under reruns, unlike seeded Bernoulli. Plan: tiny per-stratum "
+    "count agg -> scalar scale -> broadcast quota joined onto a "
+    "rank-per-stratum window. The exact-quota rank is a per-stratum total "
+    "order; at 100 TB with few strata you'd swap the window for a "
+    "hash-threshold cut (approx quantile of the hash per stratum) to "
+    "avoid single-reducer strata — documented tradeoff: exact counts "
+    "here, threshold-approximate counts at extreme scale.",
+    tags=("sampling",),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        list(MIX_TARGET.items()), "lang string, share double"
+    )
+    cnt = d.groupBy("lang").agg(F.count("*").alias("c"))
+    scale = (
+        cnt.join(tgt, "lang")
+        .agg(F.min(F.col("c") / F.col("share")).alias("s"))
+    )
+    quota = (
+        tgt.crossJoin(F.broadcast(scale))
+        .select("lang", F.floor(F.col("share") * F.col("s")).cast("bigint").alias("n_keep"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            shared_hash(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        d.withColumn("rn", rn)
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("n_keep"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 @F.pandas_udf(T.LongType())
 def _count_tokens(texts: pd.Series) -> pd.Series:
     # Arrow-vectorized: one Python call per batch, not per row

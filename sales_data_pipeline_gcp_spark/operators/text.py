@@ -372,6 +372,78 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Canonical text normalization: lowercase -> strip non-alphanumerics ->
+#: collapse whitespace -> trim. The fixture corpus is already in the
+#: normal form, so planted noisy variants (uppercased, punctuated,
+#: extra-whitespace clones) make the normalize-then-dedup non-vacuous.
+NORM_OFFSET = 4_000_000
+NORM_PLANT_MOD = 100
+NORM_PLANT_K = 3
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+
+@register(
+    "q_text_normalize",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {NORM_OFFSET}, '  ' || upper(text) || '!! '
+        FROM documents WHERE doc_id % {NORM_PLANT_MOD} < {NORM_PLANT_K}
+    ), n AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS norm_fp,
+               CAST(length({_NORM_SQL}) AS BIGINT) AS norm_len
+        FROM corpus
+    )
+    SELECT doc_id, norm_fp, norm_len,
+           ROW_NUMBER() OVER (PARTITION BY norm_fp ORDER BY doc_id) = 1
+               AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY norm_fp) AS BIGINT) AS n_variants
+    FROM n
+    """,
+    doc="Unicode-lite text normalization + normalized exact dedup: "
+    "lowercase, strip non-alphanumerics, collapse whitespace, trim — the "
+    "canonicalization every corpus runs before fingerprinting so that "
+    "case/punctuation/spacing variants of the same page collapse. Emits "
+    "the normalized fingerprint, its length, the min-doc_id canonical "
+    "flag, and the variant-group size; planted noisy clones (uppercased + "
+    "punctuation + stray spaces) prove the variants actually collapse. "
+    "Narrow map + one fingerprint-keyed window — duplicate groups are "
+    "tiny, so the partition-by-fp shuffle is skew-free at any scale.",
+    tags=("text", "dedup"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = d.filter(F.col("doc_id") % NORM_PLANT_MOD < NORM_PLANT_K).select(
+        (F.col("doc_id") + NORM_OFFSET).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("!! ")).alias("text"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    n = d.unionByName(plant).select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+    w = Window.partitionBy("norm_fp")
+    return n.select(
+        "doc_id",
+        "norm_fp",
+        "norm_len",
+        (F.row_number().over(w.orderBy(F.col("doc_id").asc())) == 1).alias("is_canonical"),
+        F.count("*").over(w).cast("bigint").alias("n_variants"),
+    )
+
+
 #: PII patterns — deliberately in the regex subset where Java regex (Spark)
 #: and RE2 (DuckDB) agree: literal classes, bounded quantifiers, no
 #: backrefs/lookaround.

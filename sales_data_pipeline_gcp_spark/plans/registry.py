@@ -99,6 +99,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_tpch_q1_pricing",     # new round 3: pricing-summary aggregate
     "q_text_repetition",     # new round 3: intra-doc repetition quality gate
     "q_text_redact",         # new round 3: PII detect/redact with planted rows
+    "q_dedup_lines",         # new round 3: C4-style line-level dedup
+    "q_text_normalize",      # new round 3: normalization + normalized dedup
+    "q_domain_mix",          # new round 3: exact-quota mixture resampling
+    "q_tpch_q5_local_supplier",  # new round 3
+    "q_tpch_q10_returns",        # new round 3
     # perf-/plan-touched this round -> re-confirm (subtree materialization,
     # in-query divisor)
     "q_dedup_minhash",
@@ -116,9 +121,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rows-only window slots from round 2 (q_agg_approx,
     # q_sample_stratified) are rotated OUT: their rows can only ever read
     # err:no_oracle.
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
+    # (q_agg_cube / q_agg_distinct / q_agg_global / q_json_extract /
+    # q_sort_multi rotated out to fit the five new round-3 queries above:
+    # all untouched since their r1 green rows, all with family
+    # representatives still in the window — q_agg_rollup + q_agg_group for
+    # grouped aggs, q_string_scalars for scalars, q_topk for sort/top-k —
+    # and local parity regression cover)
     "q_agg_rollup",
     "q_case_impute",
     "q_date_scalars",
@@ -131,14 +139,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_join_range",
     "q_join_semi_anti",
     "q_join_star",
-    "q_json_extract",
     "q_project_cast",
     "q_rollup_hierarchy",
     "q_set_intersect_except",
     # (q_set_union rotated out to fit q_tpch_q1_pricing: untouched since
     # its r1 green row, and the local parity suite regression-covers it)
     "q_sim_topk",
-    "q_sort_multi",
     # (q_stream_session / q_stream_sliding rotated out to fit
     # q_text_repetition / q_text_redact: untouched since their r1 green
     # rows; q_stream_tumbling stays in as the family representative)
