@@ -352,3 +352,70 @@ def q_window_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "q_argmin_join",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey, MIN(unit_price) AS best_price
+        FROM offers GROUP BY l_partkey
+    ), chosen AS (
+        SELECT o.l_partkey, MIN(o.l_suppkey) AS l_suppkey, b.best_price
+        FROM offers o JOIN best b
+          ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+        GROUP BY o.l_partkey, b.best_price
+    )
+    SELECT c.l_partkey AS partkey, p.p_name, c.l_suppkey AS suppkey,
+           s.s_name, c.best_price
+    FROM chosen c
+    JOIN part p ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    """,
+    doc="Argmin via aggregate + join-back (TPC-H Q2's min-cost-supplier "
+    "shape, using lineitem as the part-supplier association): cheapest "
+    "observed unit price per (part, supplier), global min per part, then "
+    "an equality join back to recover WHICH supplier offers it (min "
+    "suppkey on exact-price ties). The join-back pattern is the "
+    "greatest-n-per-group alternative to a window rank: two partial-agg "
+    "shuffles on the group key and an equi-join instead of a per-group "
+    "total sort — at 100 TB the aggregates collapse map-side, so this "
+    "shape beats the window when groups are wide. The price equality "
+    "join is exact: both sides carry the SAME double (one IEEE division "
+    "per row, then MIN), identically in both engines. part/supplier are "
+    "broadcast dims.",
+    tags=("join", "agg"),
+)
+def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
+    chosen = (
+        offers.join(
+            best.withColumnRenamed("l_partkey", "b_partkey"),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .groupBy("l_partkey", "best_price")
+        .agg(F.min("l_suppkey").alias("l_suppkey"))
+    )
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        chosen.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "best_price",
+        )
+    )

@@ -513,3 +513,77 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("int").alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+#: Overlapping document chunking for embedding/context windows: fixed
+#: word-window with stride overlap — the preprocessing step every
+#: retrieval/embedding pipeline runs before vectorizing long documents.
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 25
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), chunked AS (
+        SELECT doc_id, len(ws) AS n_words,
+               UNNEST(range(0, CAST(ceil(greatest(len(ws) - {CHUNK_WORDS}, 0)
+                                         / {CHUNK_STRIDE}.0) AS BIGINT) + 1))
+                   AS chunk_id,
+               ws
+        FROM w WHERE len(ws) >= 1
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_word,
+           CAST(least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}, n_words)
+                AS BIGINT) AS end_word,
+           CAST(least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}, n_words)
+                - chunk_id * {CHUNK_STRIDE} AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               ws[chunk_id * {CHUNK_STRIDE} + 1 :
+                  least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS}, n_words)],
+               ' ')) AS chunk_fp
+    FROM chunked
+    """,
+    doc=f"Overlapping document chunking ({CHUNK_WORDS}-word windows, stride "
+    f"{CHUNK_STRIDE}) — the context-window preprocessing step for "
+    "embedding/retrieval pipelines: every document expands to "
+    "ceil(max(n-W,0)/S)+1 chunks with word offsets and an md5 content "
+    "fingerprint per chunk (proves the chunk CONTENT is byte-identical "
+    "cross-engine, not just the counts). Pure narrow map + explode — no "
+    "shuffle at all; chunk count is linear in corpus words, so the op is "
+    "embarrassingly parallel at any scale. The final chunk is short "
+    "rather than padded; a tail shorter than the stride is absorbed by "
+    "the previous window (standard sliding-window semantics).",
+    tags=("text",),
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = _words()
+    docs = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 1)
+    n_words = F.size("ws")
+    n_extra = F.ceil(
+        F.greatest(n_words - CHUNK_WORDS, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    chunk_ids = F.sequence(F.lit(0), n_extra)
+    ex = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.col("ws"),
+        F.explode(chunk_ids).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    end = F.least(F.col("chunk_id") * CHUNK_STRIDE + CHUNK_WORDS, F.col("n_words"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("bigint").alias("start_word"),
+        end.cast("bigint").alias("end_word"),
+        (end - F.col("chunk_id") * CHUNK_STRIDE).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("ws"), start, end - start + 1))).alias(
+            "chunk_fp"
+        ),
+    )

@@ -104,6 +104,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_domain_mix",          # new round 3: exact-quota mixture resampling
     "q_tpch_q5_local_supplier",  # new round 3
     "q_tpch_q10_returns",        # new round 3
+    "q_argmin_join",         # new round 3: aggregate + join-back argmin
+    "q_text_chunk",          # new round 3: overlapping context-window chunking
     # perf-/plan-touched this round -> re-confirm (subtree materialization,
     # in-query divisor)
     "q_dedup_minhash",
@@ -132,8 +134,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_date_scalars",
     "q_dedup_exact",
     "q_filter_nulls",
+    # (q_join_full / q_text_termstats also rotated out for the round-3
+    # newcomers q_argmin_join / q_text_chunk: outer-join family keeps
+    # q_join_outer in-window; the text family keeps five other reps)
     "q_join_asof",
-    "q_join_full",
     "q_join_inner",
     "q_join_outer",
     "q_join_range",
@@ -153,7 +157,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_text_fingerprint",
     "q_text_langid",
     "q_text_quality",
-    "q_text_termstats",
     "q_text_tfidf",
     "q_text_tokens",
     "q_topk",

@@ -30,6 +30,9 @@ QUERIES = [
     "q_knn_join",             # broadcast query batch + rank window
     "q_sim_ann_ivf",          # IVF assign/probe/re-rank
     "q_decontaminate",        # eval-set dictionary semi-join
+    # round-3 additions: line-keyed window dedup and the widest new join
+    "q_dedup_lines",          # explode -> line-keyed first-occurrence window
+    "q_tpch_q5_local_supplier",  # 6-way join with local predicate
 ]
 
 
