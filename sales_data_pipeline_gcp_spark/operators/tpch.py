@@ -289,3 +289,287 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q4_late_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking; reference Q4 uses "
+    "commitdate<receiptdate — the fixture carries shipdate only, so 'late' "
+    "is shipdate > orderdate + 60 days): a correlated EXISTS whose "
+    "predicate references the OUTER row's date, compiled to a left-semi "
+    "join with a compound equi+range condition. The semi join dedups "
+    "order keys during the probe — no post-join distinct, no row "
+    "explosion from multi-line orders — and the date filter prunes the "
+    "orders scan before the shuffle. At 100 TB both sides shuffle once "
+    "on orderkey; AQE picks broadcast if the filtered year is small.",
+    tags=("tpch",),
+)
+def q_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q14_promo",
+    oracle=f"""
+    SELECT 100.0 * {sql_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END", 4)}
+                 / {sql_sum('l_extendedprice * (1 - l_discount)', 4)} AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): conditional-aggregate ratio — "
+    "promo revenue share of one ship-month. The month filter reaches the "
+    "parquet scan (partition-prunable at scale); part joins broadcast; "
+    "both sums accumulate exact decimals so the final double division is "
+    "the same IEEE op in both engines (100.0 * promo / total, evaluated "
+    "left-to-right identically).",
+    tags=("tpch",),
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * exact_sum(F.when(F.col("p_type") == "PROMO", disc), 4)
+                / exact_sum(disc, 4)
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type  <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship; the fixture has no "
+    "partsupp table, so lineitem is the part-supplier association): "
+    "NOT-IN denylist subquery (compiled to a broadcast anti-join — the "
+    "denylist is the handful of negative-balance suppliers) + distinct "
+    "count per (brand, type, size). COUNT(DISTINCT) shuffles the "
+    "already-deduped (group, suppkey) pairs once; the part dimension "
+    "broadcasts with its predicates applied before the join.",
+    tags=("tpch",),
+)
+def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    deny = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(deny, "l_suppkey", "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines,
+           {sql_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicates): an "
+    "OR-of-ANDs spanning both join sides. Catalyst extracts the "
+    "single-side conjuncts it can (brand/size membership prunes the "
+    "broadcast part build; the quantity envelope 1-30 prunes the fact "
+    "scan) and evaluates the full disjunction post-join — the classic "
+    "test that an optimizer doesn't give up on pushdown when predicates "
+    "disjoin. Revenue accumulates exactly at scale 4.",
+    tags=("tpch",),
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    arm = lambda brand, szlo, szhi, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(szlo, szhi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.filter(
+            arm("Brand#12", 1, 15, 1, 11)
+            | arm("Brand#23", 1, 25, 10, 20)
+            | arm("Brand#3", 1, 35, 20, 30)
+        ).agg(
+            F.count("*").alias("n_lines"),
+            exact_sum(disc, 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q21_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders   o  ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting; 'late' = "
+    "shipdate > orderdate + 60 days since the fixture has no "
+    "commit/receipt dates): the hardest subquery pattern in the suite — "
+    "a correlated EXISTS plus a correlated NOT EXISTS over the same "
+    "fact table. Instead of compiling two more joins per quantifier, the "
+    "engine aggregates order-level facts ONCE (distinct-supplier count, "
+    "distinct-LATE-supplier count per order) and turns both quantifiers "
+    "into cheap scalar predicates (n_supp >= 2 ⇔ EXISTS another "
+    "supplier; n_late_supp = 1 ⇔ NOT EXISTS another late one): two "
+    "narrow aggregates + one join on orderkey replace four "
+    "correlated-subquery scans. Deterministic top-k: numwait DESC then "
+    "unique s_name.",
+    tags=("flagship", "tpch"),
+)
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    n_late = (
+        late.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_late_supp"))
+    )
+    waiting = (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q22_idle_rich",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           {sql_sum('c_acctbal', 2)} AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT {sql_sum('c_acctbal', 2)} / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity; the fixture has no "
+    "phone column and every customer has orders, so the anti-join "
+    "condition is 'no URGENT order' and grouping is by nation): "
+    "uncorrelated scalar AVG subquery (exact decimal-sum average, so the "
+    "filter threshold is the same double in both engines — a 1-ulp "
+    "difference here would flip membership of boundary rows) feeding a "
+    "filter, then a NOT EXISTS anti-join against the filtered orders. "
+    "The scalar broadcasts; the anti-join shuffles only above-average "
+    "customers vs urgent orders.",
+    tags=("tpch",),
+)
+def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    from sales_data_pipeline_gcp_spark.functions.exact import exact_avg
+
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        exact_avg("c_acctbal", 2).alias("avg_bal")
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            exact_sum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )

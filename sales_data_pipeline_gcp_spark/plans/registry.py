@@ -79,6 +79,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.null_semantics",
         "sales_data_pipeline_gcp_spark.operators.sketches",
         "sales_data_pipeline_gcp_spark.operators.stats",
+        "sales_data_pipeline_gcp_spark.operators.retrieval",
     ):
         importlib.import_module(mod)
 
