@@ -573,3 +573,279 @@ def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("c_acctbal", 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q8_market_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders   o  ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey  = c.c_custkey
+        JOIN nation   nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region   r  ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+        JOIN nation   ns ON s.s_nationkey = ns.n_nationkey
+        JOIN part     p  ON l.l_partkey  = p.p_partkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    )
+    SELECT o_year,
+           COALESCE({sql_sum("CASE WHEN supp_nation = 'NATION_2' THEN volume END", 4)},
+                    CAST(0.0 AS DOUBLE))
+             / {sql_sum('volume', 4)} AS mkt_share,
+           {sql_sum('volume', 4)} AS total_rev,
+           COUNT(*) AS n_lines
+    FROM rev GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): one nation's revenue share "
+    "of ECONOMY-part sales to ASIA customers, by order year — an 8-way "
+    "star join feeding a conditional-aggregate ratio. nation/region/part "
+    "broadcast with predicates applied pre-join; orders carries the year "
+    "envelope to the scan. The share divides two exact decimal sums of "
+    "the SAME volume expression (missing nation-years coalesce to 0.0 "
+    "identically in both engines).",
+    tags=("tpch",),
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nc = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    ns = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nc, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_region") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(ns, supp.s_nationkey == F.col("sn_key"))
+        .join(part, li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        (
+            F.coalesce(
+                exact_sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")), 4),
+                F.lit(0.0),
+            )
+            / exact_sum("volume", 4)
+        ).alias("mkt_share"),
+        exact_sum("volume", 4).alias("total_rev"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q_tpch_q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l.l_partkey, {sql_sum('l.l_extendedprice', 2)} AS part_value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation   n ON s.s_nationkey = n.n_nationkey
+        JOIN region   r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY l.l_partkey
+    ), total AS (
+        SELECT {sql_sum('part_value', 2)} AS total_value FROM pv
+    )
+    SELECT pv.l_partkey AS partkey, pv.part_value
+    FROM pv CROSS JOIN total
+    WHERE pv.part_value > CAST(0.0005 AS DOUBLE) * total.total_value
+    """,
+    doc="TPC-H Q11 shape (important stock identification; lineitem stands "
+    "in for partsupp): per-part value restricted to EUROPE-region "
+    "suppliers, kept only when it exceeds a fraction of the GLOBAL total "
+    "— a HAVING against an uncorrelated scalar aggregate. The global "
+    "total re-aggregates the per-part decimal sums (exact at both "
+    "levels, so the threshold is the same double in both engines) and "
+    "broadcasts as one row; no second pass over the fact table.",
+    tags=("tpch",),
+)
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    euro_supp = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(euro_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(exact_sum("l_extendedprice", 2).alias("part_value"))
+    )
+    total = pv.agg(exact_sum("part_value", 2).alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.0005).cast("double") * F.col("total_value"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+
+
+@register(
+    "q_tpch_q13_custdist",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+    "join with the priority filter in the JOIN CONDITION (not WHERE — "
+    "filtering after the join would silently drop zero-order customers), "
+    "COUNT of the nullable join key per customer, then a second aggregate "
+    "over the counts. Two shuffles: custkey then c_count (a few dozen "
+    "distinct values, collapsed map-side). The canonical "
+    "histogram-of-counts-including-zero pattern.",
+    tags=("tpch",),
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_tpch_q15_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey, {sql_sum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, srev.total_revenue
+    FROM srev
+    CROSS JOIN (SELECT MAX(total_revenue) AS max_rev FROM srev) m
+    JOIN supplier s ON srev.l_suppkey = s.s_suppkey
+    WHERE srev.total_revenue = m.max_rev
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue per supplier, "
+    "then select the supplier(s) ACHIEVING the maximum — the "
+    "max-of-aggregate pattern the spec phrases as a view + scalar "
+    "subquery. The revenue CTE is computed once (Spark reuses the "
+    "aggregate subtree for the scalar max), the max broadcasts as one "
+    "row, and the equality predicate is safe because both engines "
+    "derive the identical double from the exact decimal sum.",
+    tags=("tpch",),
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    srev = li.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = srev.agg(F.max("total_revenue").alias("max_rev"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_tpch_q17_small_qty",
+    oracle=f"""
+    WITH brand_parts AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+    ), pavg AS (
+        SELECT l_partkey,
+               {sql_sum('l_quantity', 2)} / COUNT(l_quantity) AS avg_qty
+        FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+        GROUP BY l_partkey
+    )
+    SELECT {sql_sum('l.l_extendedprice', 2)} AS total_price,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN pavg ON l.l_partkey = pavg.l_partkey
+    WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * pavg.avg_qty
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): lineitems of one "
+    "brand whose quantity is below 20% of that part's average quantity — "
+    "the correlated scalar-AVG-per-group subquery, decorrelated into an "
+    "aggregate + self-join on partkey (one extra narrow shuffle instead "
+    "of a per-row subquery scan). The 0.2x threshold is double "
+    "arithmetic on the exact-decimal average, so boundary rows classify "
+    "identically cross-engine; the brand dimension broadcasts into both "
+    "branches.",
+    tags=("tpch",),
+)
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.functions.exact import exact_avg
+
+    brand_parts = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(brand_parts, li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = branded.groupBy("l_partkey").agg(exact_avg("l_quantity", 2).alias("avg_qty"))
+    return (
+        branded.withColumnRenamed("l_partkey", "b_partkey")
+        .join(pavg, F.col("b_partkey") == pavg.l_partkey)
+        .filter(F.col("l_quantity") < F.lit(0.2).cast("double") * F.col("avg_qty"))
+        .agg(
+            exact_sum("l_extendedprice", 2).alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
