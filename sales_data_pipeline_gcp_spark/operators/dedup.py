@@ -709,3 +709,103 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. fuzzy (edit-distance) near-dup within blocking buckets
+# ---------------------------------------------------------------------------
+
+#: compare only the first FUZZY_PREFIX chars — edit distance is O(n*m) per
+#: pair, so the comparison window must be bounded regardless of doc length.
+FUZZY_PREFIX = 200
+#: pairs with prefix edit distance <= this are near-duplicates.
+FUZZY_THRESHOLD = 20
+#: length-bucket width for blocking (docs whose n_chars differ by more than
+#: one bucket are never compared).
+FUZZY_BUCKET = 50
+#: every (doc_id % FUZZY_CLONE_MOD == 0) doc gets a planted 1-edit clone so
+#: the operator is provably non-vacuous at every SF.
+FUZZY_CLONE_MOD = 97
+
+_FUZZY_CORPUS_SQL = f"""
+    corpus AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substr(text, 1, 50) || 'X' || substr(text, 52) AS text,
+               source, n_chars
+        FROM documents WHERE doc_id % {FUZZY_CLONE_MOD} = 0
+    )
+"""
+
+
+@register(
+    "q_dedup_fuzzy",
+    oracle=f"""
+    WITH {_FUZZY_CORPUS_SQL.strip()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, {FUZZY_PREFIX}),
+                            substr(b.text, 1, {FUZZY_PREFIX})) AS INTEGER) AS dist
+    FROM corpus a JOIN corpus b
+      ON a.source = b.source
+     AND CAST(FLOOR(a.n_chars / {FUZZY_BUCKET}.0) AS BIGINT)
+         = CAST(FLOOR(b.n_chars / {FUZZY_BUCKET}.0) AS BIGINT)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, {FUZZY_PREFIX}),
+                      substr(b.text, 1, {FUZZY_PREFIX})) <= {FUZZY_THRESHOLD}
+    """,
+    doc=f"Fuzzy near-dup pairs by edit distance: Levenshtein over the "
+    f"first {FUZZY_PREFIX} chars, compared only WITHIN blocking buckets "
+    f"(same source, same n_chars/{FUZZY_BUCKET} length bucket) — the "
+    "blocked-pairwise shape of record linkage. Both engines implement "
+    "the classic unit-cost DP, so the integer distance is exactly "
+    "comparable. A deterministic 1-substitution clone of every "
+    f"{FUZZY_CLONE_MOD}th doc is unioned in so the operator returns "
+    "pairs at every SF. At 100 TB the block key is the shuffle key and "
+    "the quadratic blow-up is bounded per-bucket (bucket population is "
+    "what you tune, exactly like LSH band width); the O(len^2) DP cost "
+    "per pair is capped by the prefix window.",
+    tags=("dedup",),
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    )
+    clones = (
+        docs.filter(F.col("doc_id") % FUZZY_CLONE_MOD == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.expr("substring(text, 1, 50)"),
+                F.lit("X"),
+                F.expr("substring(text, 52, 2147483647)"),
+            ).alias("text"),
+            "source",
+            "n_chars",
+        )
+    )
+    corpus = docs.unionByName(clones).select(
+        "doc_id",
+        F.expr(f"substring(text, 1, {FUZZY_PREFIX})").alias("prefix"),
+        "source",
+        F.floor(F.col("n_chars") / FUZZY_BUCKET).cast("bigint").alias("bucket"),
+    )
+    a = corpus.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("prefix_a"),
+        "source",
+        "bucket",
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("prefix_b"),
+        "source",
+        "bucket",
+    )
+    dist = F.levenshtein(F.col("prefix_a"), F.col("prefix_b"))
+    return (
+        a.join(b, ["source", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= FUZZY_THRESHOLD)
+        .select("doc_a", "doc_b", dist.cast("int").alias("dist"))
+    )

@@ -419,3 +419,88 @@ def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_price",
         )
     )
+
+
+@register(
+    "q_set_bag_ops",
+    oracle="""
+    SELECT 'except_all' AS op, * FROM (
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        EXCEPT ALL
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, * FROM (
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        INTERSECT ALL
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    """,
+    doc="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) over the "
+    "(status, priority) multiset of two order years — multiplicity-aware "
+    "difference and intersection, which DISTINCT-based set ops get wrong. "
+    "Spark compiles both to a single shuffle on the row value with "
+    "per-side counts (no row-by-row anti join); the two ops share scan "
+    "subtrees. Output keeps duplicate rows by design — the driver's "
+    "canonicalizer is order-insensitive but multiplicity-sensitive, so "
+    "the multiset itself is what is adjudicated.",
+    tags=("setops",),
+)
+def q_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+        ).select("o_orderstatus", "o_orderpriority")
+
+    a, b = year(1996), year(1997)
+    return (
+        a.exceptAll(b).select(F.lit("except_all").alias("op"), "*")
+        .unionByName(a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "*"))
+    )
+
+
+@register(
+    "q_window_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           cume_dist() OVER w AS cume,
+           nth_value(c_acctbal, 2) OVER
+               (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_low_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution analytics: cume_dist (fraction of partition rows at "
+    "or below the current row) and nth_value(2) over a running frame — "
+    "per-nation account-balance percentile position and the partition's "
+    "second-lowest balance once visible. The window order includes the "
+    "unique c_custkey so ties cannot make RANGE/ROWS frames diverge "
+    "between engines; cume_dist divides two exact integers. One shuffle "
+    "on c_nationkey; both functions evaluate in the same sorted pass.",
+    tags=("window",),
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    w = W.partitionBy("c_nationkey").orderBy(*order)
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("second_low_bal"),
+    )

@@ -233,3 +233,138 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+# --- embedding post-processing: quantization and k-means ------------------
+
+#: number of k-means clusters; centroids seeded from the first K vectors
+#: (deterministic, training-free — same convention as the IVF coarse cells).
+KMEANS_K = 8
+#: int8-style quantization range [0, QUANT_LEVELS].
+QUANT_LEVELS = 255
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ), dims AS (
+        SELECT dim, MIN(val) AS dmin, MAX(val) AS dmax FROM ex GROUP BY dim
+    ), coded AS (
+        SELECT ex.vec_id, ex.dim,
+               CASE WHEN d.dmax = d.dmin THEN 0
+                    ELSE CAST(LEAST(CAST({QUANT_LEVELS} AS BIGINT),
+                              CAST(FLOOR(((ex.val - d.dmin) * CAST({QUANT_LEVELS} AS DOUBLE))
+                                         / (d.dmax - d.dmin)) AS BIGINT)) AS INTEGER)
+               END AS code
+        FROM ex JOIN dims d USING (dim)
+    )
+    SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS n_dims,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes
+    FROM coded GROUP BY vec_id
+    """,
+    doc=f"Per-dimension affine int8 quantization of the embedding column "
+    f"(codes 0..{QUANT_LEVELS}, dequant = dmin + code/{QUANT_LEVELS}*(dmax-dmin)) "
+    "— the storage-compression step before ANN indexing. The per-dim "
+    "min/max stats are one 64-row aggregate; quantization itself is "
+    "IN-ROW: the stats collapse to a single array-of-structs row, "
+    "broadcast, and an indexed transform() codes all 64 dims without "
+    "exploding the corpus — at 100 TB the vectors are never unrolled, "
+    "never shuffled (the oracle's explode+regroup shows the naive "
+    "equivalent). floor() instead of round() avoids cross-engine "
+    "half-way rounding divergence; codes serialize as CSV (driver "
+    "canonicalizer cannot hash list cells).",
+    tags=("similarity", "embedding"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "fval")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("fval").cast("double").alias("val")
+    )
+    dims = ex.groupBy("dim").agg(F.min("val").alias("dmin"), F.max("val").alias("dmax"))
+    dims_row = dims.agg(
+        F.sort_array(F.collect_list(F.struct("dim", "dmin", "dmax"))).alias("stats")
+    )
+
+    def code(x, i):
+        st = F.col("stats")[i]
+        dmin, dmax = st["dmin"], st["dmax"]
+        q = F.least(
+            F.lit(QUANT_LEVELS).cast("bigint"),
+            F.floor((x.cast("double") - dmin) * F.lit(float(QUANT_LEVELS)) / (dmax - dmin)),
+        ).cast("int")
+        return F.when(dmax == dmin, F.lit(0)).otherwise(q)
+
+    return (
+        e.crossJoin(F.broadcast(dims_row))
+        .select("vec_id", F.transform(F.col("embedding"), code).alias("codes_arr"))
+        .select(
+            "vec_id",
+            F.size("codes_arr").cast("int").alias("n_dims"),
+            F.concat_ws(",", F.transform(F.col("codes_arr"), lambda c: c.cast("string"))).alias("codes"),
+        )
+    )
+
+
+@register(
+    "q_kmeans_iter",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS centroid
+        FROM embeddings WHERE vec_id < {KMEANS_K}
+    ), assign_scored AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_sql_dot('e.embedding', 'c.centroid')}
+                 / (SQRT({_sql_dot('e.embedding', 'e.embedding')})
+                    * SQRT({_sql_dot('c.centroid', 'c.centroid')})) AS csim
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cell ASC) AS rn
+            FROM assign_scored
+        ) WHERE rn = 1
+    ), exploded AS (
+        SELECT cell, generate_subscripts(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS val
+        FROM assigned
+    )
+    SELECT cell, CAST(dim AS INTEGER) AS dim,
+           COUNT(*) AS n_members,
+           CAST(SUM(CAST(val AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS mean_val
+    FROM exploded GROUP BY cell, dim
+    """,
+    doc=f"One Lloyd iteration of k-means (k={KMEANS_K}, centroids seeded "
+    "from the first k vectors): assign every vector to its nearest "
+    "centroid by cosine (the in-row broadcast argmax of ivf_assign — no "
+    "per-vector shuffle), then recompute per-cluster per-dimension means. "
+    "The mean is an exact decimal sum divided by the count, so the new "
+    "centroids are bit-identical cross-engine — which is what makes an "
+    "ITERATIVE algorithm adjudicable: every subsequent iteration sees "
+    "the same input. At 100 TB each iteration is one narrow map "
+    "(assignment) + one k*64-group aggregate with map-side combine; the "
+    "explode is of the ASSIGNED rows only and collapses immediately.",
+    tags=("similarity", "embedding"),
+)
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(e, cents)
+    exploded = assigned.select(
+        "cell", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "cell",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    return exploded.groupBy("cell", "dim").agg(
+        F.count("*").alias("n_members"),
+        (F.sum(dec(F.col("val"), 8)).cast("double") / F.count("*")).alias("mean_val"),
+    )
