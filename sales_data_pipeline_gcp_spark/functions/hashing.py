@@ -31,3 +31,20 @@ def shared_hash(col: Column, seed: str = "") -> Column:
 def sql_shared_hash(expr: str, seed: str = "") -> str:
     inner = f"'{seed}' || {expr}" if seed else expr
     return f"(('0x' || substring(md5({inner}), 1, 15))::BIGINT)"
+
+
+def shared_hash32(col: Column, seed: str = "") -> Column:
+    """32-bit variant of :func:`shared_hash` (first 8 hex chars of md5).
+
+    Used as the BASE of derived hash families: k functions are synthesized
+    as ``b1 + i*b2`` (Kirsch-Mitzenmacher double hashing) from two 32-bit
+    bases, so the combination ``b1 + (k-1)*b2 < 2^32 * k`` stays far below
+    2^63 — no overflow under ANSI arithmetic in either engine — while
+    paying 2 md5s per input instead of k."""
+    s = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def sql_shared_hash32(expr: str, seed: str = "") -> str:
+    inner = f"'{seed}' || {expr}" if seed else expr
+    return f"(('0x' || substring(md5({inner}), 1, 8))::BIGINT)"

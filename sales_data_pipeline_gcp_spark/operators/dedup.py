@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.functions.hashing import shared_hash, sql_shared_hash
+from sales_data_pipeline_gcp_spark.functions.hashing import (
+    shared_hash,
+    shared_hash32,
+    sql_shared_hash,
+    sql_shared_hash32,
+)
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -102,20 +107,36 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def shingles_from(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) with distinct 3-word shingles from any DataFrame
-    with (doc_id, text) — DataFrame twin of ``_SHINGLES_SQL``. Guard
-    size>=3 BEFORE F.sequence: Spark's sequence generates descending for
-    start>stop instead of empty."""
+def shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs) with the doc's DISTINCT 3-word shingles as an IN-ROW
+    array — the un-exploded form, for stages (minhash signatures) that can
+    fold per-doc without ever shuffling the shingle stream.
+
+    The sequence bound is clamped with greatest(..., 1) so the expression
+    is TOTAL: Spark's sequence(1, 0) generates DESCENDING [1, 0] (not
+    empty) and slice(arr, 0, n) then errors — and the size>=3 filter
+    here cannot be relied on to short-circuit, because downstream
+    explodes infer a size(shs)>0 predicate that CombineFilters merges
+    into one conjunction whose codegen CSE evaluates the shingle
+    subexpression before the guard. Clamped short-doc rows produce a
+    garbage 1-element value that the filter then drops."""
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     docs = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= SHINGLE_WORDS)
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size("ws") - (SHINGLE_WORDS - 1)),
+            F.sequence(
+                F.lit(1), F.greatest(F.size("ws") - (SHINGLE_WORDS - 1), F.lit(1))
+            ),
             lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, SHINGLE_WORDS)),
         )
     )
-    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    return docs.select("doc_id", shingles.alias("shs"))
+
+
+def shingles_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles — DataFrame twin of
+    ``_SHINGLES_SQL``; the form pairwise-verification joins need."""
+    return shingle_arrays(docs).select("doc_id", F.explode("shs").alias("shingle"))
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,15 +245,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """doc_id -> mh_0..mh_{k-1}: min over shingles of k seeded hashes.
+    """doc_id -> mh_0..mh_{k-1}: min over shingles of k derived hashes.
 
-    The k hashes are computed INLINE per occurrence row — a map-side-only
+    **Derived hash family** (Kirsch-Mitzenmacher double hashing): only TWO
+    32-bit base md5s per occurrence; function i is ``b1 + i*b2``
+    (max < 2^32 * k — no ANSI overflow). Pairwise independence of the
+    family is what MinHash's collision-probability argument needs, and
+    2 md5s vs k is an 8x cut of the pipeline's dominant CPU cost.
+
+    The bases are computed INLINE per occurrence row — a map-side-only
     projection inside whole-stage codegen — and all k mins fold in one
-    partially-aggregated groupBy. Total cost: one shuffle, keyed by doc_id,
-    carrying k longs per doc after map-side combine.
+    partially-aggregated groupBy: one shuffle, keyed by doc_id, carrying
+    k longs per doc after map-side combine. (An in-row variant — per-doc
+    shingle array, zip_with + array_min folds — was measured SLOWER:
+    higher-order functions are evaluated interpreted, outside codegen,
+    and the per-function array allocations cost more than this stage's
+    small combined shuffle.)
 
     The tempting alternative (dictionary-encode: hash each DISTINCT shingle
-    once, join back) is strictly worse at scale: the dictionary is
+    once globally, join back) is strictly worse at scale: the dictionary is
     unbounded at 100 TB so it cannot be broadcast, and a shuffle join on
     the shingle key moves the whole occurrence stream through an extra
     exchange just to save re-hashing — md5 per row is cheaper than a
@@ -240,9 +271,13 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     (functions/hashing.py scale note)."""
     hashed = sh.select(
         "doc_id",
-        *[shared_hash(F.col("shingle"), f"mh{i}:").alias(f"h_{i}") for i in range(NUM_HASHES)],
+        shared_hash32(F.col("shingle"), "mh:a:").alias("b1"),
+        shared_hash32(F.col("shingle"), "mh:b:").alias("b2"),
     )
-    aggs = [F.min(F.col(f"h_{i}")).alias(f"mh_{i}") for i in range(NUM_HASHES)]
+    aggs = [
+        F.min(F.col("b1") + F.lit(i) * F.col("b2")).alias(f"mh_{i}")
+        for i in range(NUM_HASHES)
+    ]
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
@@ -273,8 +308,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    b1 = sql_shared_hash32("shingle", "mh:a:")
+    b2 = sql_shared_hash32("shingle", "mh:b:")
     mins = ",\n           ".join(
-        f"MIN({sql_shared_hash('shingle', f'mh{i}:')}) AS mh_{i}" for i in range(NUM_HASHES)
+        f"MIN({b1} + {i} * {b2}) AS mh_{i}" for i in range(NUM_HASHES)
     )
     band_rows = []
     for band in range(NUM_BANDS):
@@ -353,7 +390,7 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sh feeds the signature pipeline AND 3 verify_jaccard branches; sig
     # feeds both sides of the band self-join — materialize each once so
-    # the 16-hash stage and the shingle explode run exactly once
+    # the 2-base-hash stage and the shingle explode run exactly once
     sh = materialize(doc_shingles(spark, sf_dir))
     sig = materialize(minhash_signatures(sh))
     cand = lsh_candidate_pairs(sig)
@@ -409,31 +446,42 @@ def _simhash_sql() -> str:
     "bit votes, then pigeonhole blocking — a pair within hamming distance "
     f"{HAMMING_MAX} must agree on at least one of {SIMHASH_CHUNKS} chunks, "
     "so the join runs on chunk equality (linear-ish candidates), hamming "
-    "verified with bit_count(xor).",
+    "verified with bit_count(xor). The fingerprint is computed entirely "
+    "IN-ROW: array_distinct dedups the token set per doc and the bit "
+    "votes fold over the hashed array, so the whole signature stage is a "
+    "narrow map — ZERO shuffles before the candidate join (the previous "
+    "explode+distinct+groupBy shape shuffled the corpus-sized token "
+    "stream twice).",
     tags=("dedup",),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
-    tokens = docs.select("doc_id", F.explode(ws).alias("token")).distinct()
-    # hash inline, map-side (see minhash_signatures: a dictionary join
-    # either needs an unbounded broadcast or an extra occurrence-stream
-    # shuffle — both worse than re-hashing in codegen)
-    votes = tokens.select("doc_id", shared_hash(F.col("token")).alias("h")).groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v_{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    # hash the DISTINCT token set in-row (hash inline, map-side: a
+    # dictionary join either needs an unbounded broadcast or an extra
+    # occurrence-stream shuffle — both worse than re-hashing in codegen).
+    # Separate projection so the 32 vote folds below read the bound `hs`
+    # attribute instead of re-deriving 1 md5 per (token, bit).
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.array_distinct(ws), lambda t: shared_hash(t)).alias("hs"),
     )
+    # per-bit vote = fold of +-1 over the hash array (order-independent
+    # integer sum); bit set iff vote > 0 — same semantics as the oracle's
+    # SUM(CASE...) GROUP BY doc_id, but with no aggregation at all
     simhash = None
     for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        term = F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     # one row per doc; feeds both sides of the chunk self-join — without
-    # this the token explode + 32 bit-vote aggs execute twice
-    sim = materialize(votes.select("doc_id", simhash.alias("simhash")))
+    # this the in-row hash+fold stage executes twice
+    sim = materialize(hashed.select("doc_id", simhash.alias("simhash")))
 
     chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
     # one posexplode pass over all chunks (see lsh_candidate_pairs)

@@ -164,17 +164,28 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     doc="Exact linear-interpolation percentiles per group (Spark percentile "
-    "== DuckDB quantile_cont semantics). The approx_percentile variant is "
-    "the scale path for heavy groups; exact is fine per-group here because "
-    "groups are few.",
+    "== DuckDB quantile_cont semantics). All three cut points come from ONE "
+    "percentile aggregate (array of percentages): the group's values are "
+    "collected and sorted once, not once per quantile — exact percentile's "
+    "partial state is the value list itself, so fewer buffers directly cut "
+    "the shuffle payload. The approx_percentile variant is the scale path "
+    "for heavy groups; exact is fine per-group here because groups are few.",
     tags=("agg",),
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p25"),
+            F.col("ps")[1].alias("p50"),
+            F.col("ps")[2].alias("p75"),
+        )
     )
 
 
