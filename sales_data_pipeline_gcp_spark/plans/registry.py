@@ -94,21 +94,46 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never driver-adjudicated in any round
+    # never driver-adjudicated in ANY round — highest marginal value.
+    # (a) round-3 queries added before this rotation:
     "q_join_asof_fwd",       # added after the round-2 window was full
-    "q_agg_approx_bounds",   # new round 3: oracled bound-check twin of q_agg_approx
-    "q_tpch_q1_pricing",     # new round 3: pricing-summary aggregate
-    "q_text_repetition",     # new round 3: intra-doc repetition quality gate
-    "q_text_redact",         # new round 3: PII detect/redact with planted rows
-    "q_dedup_lines",         # new round 3: C4-style line-level dedup
-    "q_text_normalize",      # new round 3: normalization + normalized dedup
-    "q_domain_mix",          # new round 3: exact-quota mixture resampling
-    "q_tpch_q5_local_supplier",  # new round 3
-    "q_tpch_q10_returns",        # new round 3
-    "q_argmin_join",         # new round 3: aggregate + join-back argmin
-    "q_text_chunk",          # new round 3: overlapping context-window chunking
-    # perf-/plan-touched this round -> re-confirm (subtree materialization,
-    # in-query divisor)
+    "q_agg_approx_bounds",   # oracled bound-check twin of q_agg_approx
+    "q_tpch_q1_pricing",
+    "q_text_repetition",
+    "q_text_redact",
+    "q_dedup_lines",
+    "q_text_normalize",
+    "q_domain_mix",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q10_returns",
+    "q_argmin_join",
+    "q_text_chunk",
+    # (b) round-3 queries added in the second half of the round: the
+    # remaining TPC-H decorrelation/subquery shapes ...
+    "q_tpch_q4_late_orders",
+    "q_tpch_q8_market_share",
+    "q_tpch_q11_important_parts",
+    "q_tpch_q13_custdist",
+    "q_tpch_q14_promo",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_supplier_variety",
+    "q_tpch_q17_small_qty",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q21_waiting",
+    "q_tpch_q22_idle_rich",
+    # ... the retrieval module ...
+    "q_inverted_index",
+    "q_bm25",
+    "q_seq_pack",
+    # ... and the round-3 operator batch
+    "q_dedup_fuzzy",
+    "q_embed_quantize",
+    "q_kmeans_iter",
+    "q_set_bag_ops",
+    "q_window_cume",
+    # plan- or value-touched this round -> green rows are stale, re-confirm:
+    # minhash family switched to the derived (Kirsch-Mitzenmacher) hash
+    # family so signature VALUES changed; simhash/percentile plans changed
     "q_dedup_minhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
@@ -118,53 +143,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_corpus_prepare",
     "q_decontaminate",
     "q_relational_division",
-    "q_sim_ann_ivf",         # mild r2 regression; plan re-audited, re-confirm
-    # round-1 greens whose only driver row is r01 (rotated out in round 2;
-    # local parity has covered them since) — re-adjudicate. The two
-    # rows-only window slots from round 2 (q_agg_approx,
-    # q_sample_stratified) are rotated OUT: their rows can only ever read
-    # err:no_oracle.
-    # (q_agg_cube / q_agg_distinct / q_agg_global / q_json_extract /
-    # q_sort_multi rotated out to fit the five new round-3 queries above:
-    # all untouched since their r1 green rows, all with family
-    # representatives still in the window — q_agg_rollup + q_agg_group for
-    # grouped aggs, q_string_scalars for scalars, q_topk for sort/top-k —
-    # and local parity regression cover)
+    "q_sim_ann_ivf",
+    "q_percentile",
+    # round-1/2 greens as family regression canaries (all untouched since
+    # their green rows; every family keeps local-parity cover, and the
+    # full r1-green re-adjudication pass that round 2 planned completed
+    # with 48/50 green — these seven keep one driver-fresh row per family)
     "q_agg_rollup",
-    "q_case_impute",
-    "q_date_scalars",
     "q_dedup_exact",
-    "q_filter_nulls",
-    # (q_join_full / q_text_termstats also rotated out for the round-3
-    # newcomers q_argmin_join / q_text_chunk: outer-join family keeps
-    # q_join_outer in-window; the text family keeps five other reps)
-    "q_join_asof",
-    "q_join_inner",
     "q_join_outer",
-    "q_join_range",
-    "q_join_semi_anti",
-    "q_join_star",
-    "q_project_cast",
-    "q_rollup_hierarchy",
-    "q_set_intersect_except",
-    # (q_set_union rotated out to fit q_tpch_q1_pricing: untouched since
-    # its r1 green row, and the local parity suite regression-covers it)
-    "q_sim_topk",
-    # (q_stream_session / q_stream_sliding rotated out to fit
-    # q_text_repetition / q_text_redact: untouched since their r1 green
-    # rows; q_stream_tumbling stays in as the family representative)
     "q_stream_tumbling",
     "q_string_scalars",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_text_tokens",
     "q_topk",
     "q_window_frame",
-    "q_window_lag",
-    "q_window_rank",
-    "q_window_topk_per_group",
     # slot 50: the flagship as a regression canary (green r1 + r2)
     "q_agg_group",
 )
