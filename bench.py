@@ -12,8 +12,19 @@ execution.
 Each query's reported time is the MEDIAN of 3 steady-state runs (after an
 untimed warmup run): a single timed run on a shared box can be doubled —
 or sixteen-folded, as one round-2 entry was — by one GC pause or a
-neighbor's burst. The per-run values are kept in the JSON (``runs``) so
-variance stays visible.
+neighbor's burst.
+
+The driver records only a 2000-char tail of stdout (verified: rounds 1-3
+all have ``parsed: null`` with a mid-dict tail), and 122+ query names at
+~15 chars average cannot fit a 2000-char JSON line. So the official
+record is split honestly:
+
+- the FINAL stdout line is a complete, parseable JSON object sized to fit
+  the tail: the total over ALL queries plus per-query medians for the
+  SLOWEST queries (the cost leaders — exactly the rows truncation lost in
+  round 3), with ``queries_omitted`` counting the fast ones cut;
+- ``BENCH_FULL.json`` (committed) gets every query's median;
+- ``bench_runs.json`` (gitignored) gets the raw per-run samples.
 """
 
 from __future__ import annotations
@@ -67,18 +78,51 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_runs.json"), "w") as f:
+        json.dump({"runs": runs, "sf": sf, "runs_per_query": RUNS_PER_QUERY}, f, indent=1, sort_keys=True)
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
                 "sf": sf,
-            }
+                "runs_per_query": RUNS_PER_QUERY,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    # The FINAL stdout line is the official record and must survive the
+    # driver's 2000-char stdout tail as complete, parseable JSON. All 122+
+    # names cannot fit, so include the SLOWEST queries (cost leaders) up to
+    # a byte budget and count the omitted cheap ones; the committed
+    # BENCH_FULL.json holds every query.
+    budget = 1600
+    selected: dict[str, float] = {}
+    for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        trial = dict(selected)
+        trial[name] = sec
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        selected[name] = sec
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: selected[n] for n in sorted(selected)},
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_omitted": len(timings) - len(selected),
+        "full_record": "BENCH_FULL.json",
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never emit an untailable line
+        raise RuntimeError(f"official bench line {len(line)} bytes > 1900")
+    print(line)
     spark.stop()
 
 

@@ -42,16 +42,29 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     row-group pruning, and partition pruning all apply — the final
     ``select``/``filter`` in a query reaches this scan via Catalyst.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it via
-    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) so ``ts``
-    arrives as int64 nanoseconds, and add ``ts_us`` (µs-truncated
-    TimestampType) for event-time operators. Queries that must hash-match
-    the DuckDB oracle should emit integer epoch values or date_trunc'd
-    timestamps, never raw ns (DuckDB keeps ns precision; Spark can't).
+    ``events.ts`` is normalized to the engine-wide contract **ts = int64
+    epoch-nanoseconds, ts_us = µs TimestampType** regardless of how the
+    fixture encodes it — two layouts exist in the wild:
+
+    - TIMESTAMP(NANOS) footer (fixtures through 2026-07): Spark's
+      vectorized reader rejects it (PARQUET_TYPE_ILLEGAL), so the
+      ``spark.sql.legacy.parquet.nanosAsLong`` flag reads it as int64 ns
+      and ``ts_us`` is derived by integer division;
+    - TIMESTAMP(MICROS) footer (fixtures from 2026-08): ``ts`` arrives as
+      TIMESTAMP_NTZ; int64 ``ts`` is re-derived TIMEZONE-FREE as
+      ``timestampdiff(MICROSECOND, NTZ epoch, ts) * 1000`` — exactly
+      DuckDB's ``epoch_ns(ts)`` on the same µs data under ANY session tz
+      (the driver supplies a plain session whose tz is the host's, so a
+      tz-dependent NTZ->LTZ cast would shift every epoch by the UTC
+      offset; verified against DuckDB under America/New_York). ``ts_us``
+      is then derived from the int64 exactly as in the legacy branch.
+
+    Queries that must hash-match the DuckDB oracle should emit integer
+    epoch values or date_trunc'd timestamps, never raw ns.
     """
     if table == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         # DELIBERATE session-wide setting (there is no per-read option for
         # this legacy flag): nanos-typed parquet reads as int64 for the
@@ -61,6 +74,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # table has — documented rather than hidden (round-1 ADVICE).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if not isinstance(df.schema["ts"].dataType, T.LongType):
+            us = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            df = df.withColumn("ts", us * NS_PER_US)
         return df.withColumn("ts_us", F.timestamp_micros(F.expr(f"ts div {NS_PER_US}")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 

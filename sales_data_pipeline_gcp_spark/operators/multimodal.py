@@ -2,12 +2,15 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched Pandas
 UDFs (``mapInPandas``).
 
-The container has no image/audio codecs, so the DECODE step is a
+The container has no image/audio codecs, so PIXEL decode is a
 deterministic fake (documented stub): features are derived from the raw
-bytes themselves. Everything around it — binary column synthesis, metadata
-struct schema, mapInPandas batch iteration, output schema, partitioning —
-is the real plumbing a production decode would use: swap ``_fake_decode``
-for a PIL/ffmpeg call and nothing else changes.
+bytes themselves. Container-HEADER decode, by contrast, is REAL: the
+``q_multimodal_decode`` path synthesizes and parses the actual PNG IHDR /
+JPEG SOF0 / WebP VP8X public byte layouts in pure Python. Everything
+around the fake — binary column synthesis, metadata struct schema,
+mapInPandas batch iteration, output schema, partitioning — is the real
+plumbing a production decode would use: swap ``_fake_decode`` for a
+PIL/ffmpeg call and nothing else changes.
 
 ``q_multimodal_features`` is ORACLED despite the Pandas UDF: the payload is
 ``unhex(md5(text))``, so DuckDB can recompute every byte from the hex
@@ -54,15 +57,72 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _real_decode(payload: bytes, fmt: str):  # pragma: no cover - no codecs in image
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image codecs not available in this environment; production "
-            "deployments plug PIL/ffmpeg in here — the Spark-side plumbing "
-            "(schema, batching, partitioning) is identical"
-        ) from exc
+# --- real container-header codecs (pure Python, no image libraries) --------
+#
+# Full pixel decode needs codecs the container lacks (PIL/ffmpeg — a
+# production deployment swaps them into ``decode_features``' _fake_decode).
+# Container HEADER parsing, however, needs only the public byte layouts, so
+# the dimension-extraction path below is REAL: it emits and parses the
+# actual PNG IHDR chunk, JPEG SOF0 segment, and WebP VP8X chunk.
+
+
+def encode_png_header(width: int, height: int) -> bytes:
+    """PNG signature + IHDR chunk (spec: 8-byte signature, then
+    length/'IHDR'/width u32 BE/height u32 BE/bitdepth/colortype/...)."""
+    import struct
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """JPEG SOI + APP0(JFIF) + SOF0 (baseline) segment: marker FFC0,
+    u16 length, u8 precision, u16 height, u16 width (big-endian)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + struct.pack("BBB", 1, 0x11, 0)
+    return b"\xff\xd8" + app0 + sof0
+
+
+def encode_webp_header(width: int, height: int) -> bytes:
+    """WebP RIFF container with a VP8X chunk: canvas width-1 / height-1 as
+    24-bit little-endian at offsets 24 / 27."""
+    import struct
+
+    vp8x = bytes(4) + struct.pack("<I", width - 1)[:3] + struct.pack("<I", height - 1)[:3]
+    body = b"WEBPVP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_header(payload: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from real container bytes — raises ValueError
+    on an unrecognized container (not NotImplementedError: every format the
+    synthesizer emits IS implemented)."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR chunk")
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[i + 1]
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF segment")
+    if payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8X":
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return "webp", w, h
+    raise ValueError(f"unrecognized container: {payload[:8]!r}")
 
 
 def _fake_decode(payload: bytes) -> tuple[list[float], float]:
@@ -142,6 +202,86 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat_csv.alias("feat_csv"),
         "mean_byte",
     )
+
+
+def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload) where payload is a REAL container
+    header (PNG/JPEG/WebP by doc_id % 3, dims derived from doc_id) built by
+    an Arrow-batched synthesizer — the write half of the decode round-trip."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoders = [encode_png_header, encode_jpeg_header, encode_webp_header]
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encoders[int(i) % 3](int(i) % 64 + 1, int(i) % 48 + 1)
+                        for i in ids
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+
+
+DECODE_SCHEMA = "doc_id bigint, format string, width int, height int, n_bytes int"
+
+
+def decode_headers(images: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header decode: parses PNG IHDR / JPEG SOF0 / WebP
+    VP8X byte layouts (decode_header) — no image libraries involved."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [decode_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="int32"),
+                    "n_bytes": pd.array([len(bytes(p)) for p in pdf["payload"]], dtype="int32"),
+                }
+            )
+
+    return images.mapInPandas(op, schema=DECODE_SCHEMA)
+
+
+#: header sizes are fixed per format (verified by the round-trip test):
+#: png = sig 8 + IHDR len/tag/data 4+4+13; jpeg = SOI 2 + APP0 18 + SOF0 13;
+#: webp = RIFF/size/WEBP 12 + VP8X tag/len 8 + VP8X data 10
+_HEADER_BYTES = {"png": 8 + 4 + 4 + 13, "jpeg": 2 + 18 + 13, "webp": 12 + 8 + 10}
+
+
+@register(
+    "q_multimodal_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS format,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN {_HEADER_BYTES['png']}
+                     WHEN doc_id % 3 = 1 THEN {_HEADER_BYTES['jpeg']}
+                     ELSE {_HEADER_BYTES['webp']} END AS INTEGER) AS n_bytes
+    FROM documents
+    """,
+    doc="REAL image-container decode (no codec stub): synthesize actual "
+    "PNG-signature+IHDR / JPEG SOI+APP0+SOF0 / WebP RIFF+VP8X headers per "
+    "doc, then parse width/height back out of the raw bytes in a second "
+    "mapInPandas — both halves are the true public byte layouts, so the "
+    "oracle's closed-form dims only match if the binary round-trip is "
+    "byte-exact. This retires the round-3 NotImplementedError: every "
+    "synthesized format is fully parsed; only full PIXEL decode still "
+    "needs external codecs (swap into decode_features._fake_decode).",
+    tags=("multimodal",),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_headers(image_table(spark, sf_dir))
 
 
 def frame_sample(mm: DataFrame) -> DataFrame:

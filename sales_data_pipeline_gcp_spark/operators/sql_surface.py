@@ -1,0 +1,114 @@
+"""SQL-string entry surface — the first thing a real analytics-engine user
+types is ``spark.sql("SELECT ...")`` over registered views, not a DataFrame
+function (the reference itself has no SQL layer — SURVEY.md:26 — so this is
+parity-plus).
+
+Each query here is declared as ONE dialect-neutral ANSI SQL string that is
+executed verbatim by BOTH engines: the Spark side registers the fixture
+tables as temp views (io.register_views) and runs ``spark.sql(SQL)``; the
+driver runs the SAME string as the DuckDB oracle. Zero translation layer —
+if the string drifts out of the common dialect, the parity gate fails, which
+is exactly the guarantee a SQL surface should carry.
+
+Dialect-neutral subset used: explicit JOIN ... ON, CAST, DECIMAL(38,s)
+exact accumulation (functions/exact.py rationale), CASE, COUNT/SUM/MIN/MAX,
+GROUP BY, HAVING, ORDER BY with tiebreaks, LIMIT, TIMESTAMP literals.
+
+The ``events`` view is EXCLUDED from the shared-dialect surface: the Spark
+view normalizes ``ts`` to int64 epoch-ns while DuckDB reads the raw parquet
+TIMESTAMP — the one fixture column where the two engines' natural readings
+diverge (io.load docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sales_data_pipeline_gcp_spark.io import register_views
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+_SQL_REVENUE_BY_NATION = """
+    SELECT n_name,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name, CAST(YEAR(o_orderdate) AS INTEGER)
+    ORDER BY n_name, o_year
+"""
+
+_SQL_SEGMENT_LEADERS = """
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS segment_value,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+               AS urgent_orders,
+           MAX(o_totalprice) AS biggest_order
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 10
+    ORDER BY segment_value DESC, c_mktsegment
+    LIMIT 10
+"""
+
+_SQL_DOC_SOURCE_PROFILE = """
+    SELECT source,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc_id
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+@register(
+    "q_sql_revenue_by_nation",
+    oracle=_SQL_REVENUE_BY_NATION,
+    doc="SQL-string surface #1: the Spark side IS spark.sql(<oracle string>) "
+    "over registered temp views — the same ANSI text both engines execute. "
+    "4-way join + derived year + exact-decimal revenue. Catalyst applies "
+    "the identical pushdown/broadcast treatment to SQL text as to the "
+    "DataFrame API (one logical plan), so the SQL surface inherits every "
+    "scale property of the DataFrame queries.",
+    tags=("sql",),
+)
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_sql(spark, sf_dir, _SQL_REVENUE_BY_NATION)
+
+
+@register(
+    "q_sql_segment_leaders",
+    oracle=_SQL_SEGMENT_LEADERS,
+    doc="SQL-string surface #2 (same shared-text contract): join + "
+    "conditional COUNT + HAVING + deterministic top-k via ORDER BY with "
+    "tiebreak, executed verbatim by spark.sql and the oracle.",
+    tags=("sql",),
+)
+def q_sql_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_sql(spark, sf_dir, _SQL_SEGMENT_LEADERS)
+
+
+@register(
+    "q_sql_doc_source_profile",
+    oracle=_SQL_DOC_SOURCE_PROFILE,
+    doc="SQL-string surface #3 (shared-text contract) over the documents "
+    "corpus table: grouped profile with exact integer accumulation pinned "
+    "to BIGINT on both sides (DuckDB SUM(int) widens to HUGEINT, Spark to "
+    "BIGINT — the explicit casts make the dialects agree).",
+    tags=("sql",),
+)
+def q_sql_doc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_sql(spark, sf_dir, _SQL_DOC_SOURCE_PROFILE)

@@ -849,3 +849,290 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q_tpch_q6_forecast",
+    oracle=f"""
+    SELECT {sql_sum('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): a pure filtered "
+    "global aggregate — every predicate (date range, discount band, "
+    "quantity cap) pushes to the parquet scan, and the single SUM "
+    "collapses map-side to one value per partition. The cheapest possible "
+    "plan at any scale: no join, no wide shuffle, scan volume bounded by "
+    "row-group pruning on l_shipdate.",
+    tags=("tpch",),
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q12_priority_class",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+               AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+               AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >  o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping modes / order priority; the fixture has "
+    "no l_shipmode or commit/receipt dates, so the ship class is "
+    "l_returnflag and 'late' is shipdate > orderdate + 90 days): "
+    "orders-lineitem join with a non-equi date predicate, conditional "
+    "COUNT(CASE ...) split of one pass into high/low priority tallies. "
+    "The year filter prunes lineitem pre-shuffle; the priority CASE is "
+    "evaluated post-join map-side, so the final agg carries 2 counters "
+    "per group.",
+    tags=("tpch",),
+)
+def q_tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_tpch_q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_sum('amount', 4)} AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+                   AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product type profit; the fixture has no partsupp, "
+    "so supply cost is p_retailprice * l_quantity): 5-way join rooted at a "
+    "name-filtered part dim (broadcast — the filter keeps ~13% of an "
+    "already-small dim), profit per (supplier nation, order year). The "
+    "part filter semi-prunes lineitem FIRST, so the orders join runs on "
+    "the reduced fact; nation broadcasts. Per-row amount is "
+    "IEEE-identical cross-engine (same multiply/subtract order), then "
+    "exact-decimal summed.",
+    tags=("tpch",),
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(exact_sum("amount", 4).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q_tpch_q20_promotion_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 50
+      )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (potential part promotion; the fixture has no "
+    "partsupp.ps_availqty, so the excess-stock predicate becomes shipped "
+    "quantity > 50 per supplier-part): the remaining decorrelation shape "
+    "— an IN whose subquery contains a nested IN AND a grouped HAVING "
+    "aggregate. Compiles bottom-up: name-filtered part dim broadcast-semi-"
+    "prunes lineitem, one grouped agg on (suppkey, partkey), HAVING "
+    "filter, then a semi join into the region-filtered supplier dim. "
+    "Every IN is a semi join (never a distinct + inner join), so no "
+    "intermediate blow-up at scale.",
+    tags=("tpch",),
+)
+def q_tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_parts = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    heavy_suppliers = (
+        li.join(small_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(heavy_suppliers, "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q_tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice / l_quantity) AS supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    europe AS (
+        SELECT suppkey, partkey, supplycost, s_acctbal, s_name, n_name
+        FROM ps
+        JOIN supplier ON s_suppkey = suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT partkey, MIN(supplycost) AS min_cost FROM europe GROUP BY partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           supplycost AS min_supplycost
+    FROM europe
+    JOIN best ON europe.partkey = best.partkey
+             AND europe.supplycost = best.min_cost
+    JOIN part ON p_partkey = europe.partkey
+    WHERE p_size = 25
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape, FULL star output (min-cost supplier per part; the "
+    "fixture has no partsupp, so the part-supplier relation is derived: "
+    "supplycost = MIN unit price over that pair's lineitems): the "
+    "correlated scalar-subquery-on-MIN decorrelated as groupBy-min + "
+    "join-back on (partkey, cost) — ties keep ALL min-cost suppliers, "
+    "exactly the spec's semantics. Region restriction applies BEFORE the "
+    "per-part min (the subquery's scope), supplier/nation/region/part all "
+    "broadcast, and the unit-price division is IEEE-identical "
+    "cross-engine. Deterministic LIMIT: full tiebreak chain "
+    "(acctbal DESC, nation, supplier, part).",
+    tags=("tpch",),
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    )
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    europe = (
+        ps.join(supp, ps.suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("partkey", "supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    best = europe.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_size") == 25).select("p_partkey", "p_name")
+    )
+    return (
+        europe.join(
+            best,
+            (europe.partkey == best.b_partkey)
+            & (europe.supplycost == best.min_cost),
+        )
+        .join(part, europe.partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("supplycost").alias("min_supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )

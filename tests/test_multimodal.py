@@ -1,5 +1,5 @@
 """Pins the multimodal plumbing the driver only row-checks: frame sampling
-content and the stub behavior for real codecs."""
+content and the real container-header codecs."""
 
 from __future__ import annotations
 
@@ -11,8 +11,14 @@ from sales_data_pipeline_gcp_spark.operators.multimodal import (
     FRAME_STRIDE,
     PAYLOAD_BYTES,
     VIDEO_REPEAT,
-    _real_decode,
+    _HEADER_BYTES,
+    decode_header,
+    decode_headers,
+    encode_jpeg_header,
+    encode_png_header,
+    encode_webp_header,
     frame_sample,
+    image_table,
     multimodal_table,
 )
 
@@ -35,6 +41,30 @@ def test_frame_sample_values(spark, sf_dir):
         assert r.frame_len == [FRAME_STRIDE] * n_frames
 
 
-def test_real_decode_is_marked_stub():
-    with pytest.raises(NotImplementedError):
-        _real_decode(b"\x00" * 16, "png")
+@pytest.mark.parametrize(
+    "enc,fmt",
+    [
+        (encode_png_header, "png"),
+        (encode_jpeg_header, "jpeg"),
+        (encode_webp_header, "webp"),
+    ],
+)
+def test_header_codec_round_trip(enc, fmt):
+    for w, h in [(1, 1), (64, 48), (37, 23), (640, 480), (16384, 16384)]:
+        payload = enc(w, h)
+        assert len(payload) == _HEADER_BYTES[fmt]
+        assert decode_header(payload) == (fmt, w, h)
+
+
+def test_decode_header_rejects_unknown_container():
+    with pytest.raises(ValueError):
+        decode_header(b"\x00" * 16)
+
+
+def test_decode_headers_spark_round_trip(spark, sf_dir):
+    rows = decode_headers(image_table(spark, sf_dir)).filter("doc_id < 60").collect()
+    assert len(rows) == 60
+    for r in rows:
+        fmt = ["png", "jpeg", "webp"][r.doc_id % 3]
+        assert (r.format, r.width, r.height) == (fmt, r.doc_id % 64 + 1, r.doc_id % 48 + 1)
+        assert r.n_bytes == _HEADER_BYTES[fmt]

@@ -17,6 +17,7 @@ PYTHON_OK = {
     "q_grouped_trend",          # applyInPandas grouped map
     "q_multimodal_features",    # mapInPandas decode
     "q_multimodal_framesample", # mapInPandas frame sampler
+    "q_multimodal_decode",      # mapInPandas header synth + parse
     "q_udf_vectorized",         # scalar pandas UDF
 }
 
