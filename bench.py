@@ -29,6 +29,7 @@ record is split honestly:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -76,6 +77,12 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 4))
         runs[name] = samples
         timings[name] = round(statistics.median(samples), 4)
+        # drop Python refs to per-run localCheckpoint RDDs so the JVM
+        # ContextCleaner can evict their blocks BETWEEN queries — otherwise
+        # checkpoint blocks from every prior run pile up in the block
+        # manager and a later query pays the eviction/GC bill mid-timing
+        # (the round-2 37s minhash outlier class)
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     here = os.path.dirname(os.path.abspath(__file__))

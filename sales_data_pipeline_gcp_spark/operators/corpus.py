@@ -23,12 +23,10 @@ from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _minhash_sql,
-    lsh_candidate_pairs,
-    materialize,
-    minhash_signatures,
     fan_out,
+    materialize,
+    neardup_pairs,
     shingles_from,
-    verify_jaccard,
 )
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -60,16 +58,12 @@ def near_dedup_docs(docs: DataFrame) -> DataFrame:
     """Remove the higher doc_id of every verified near-dup pair
     (MinHash-LSH candidates, exact-Jaccard verified).
 
-    ``docs`` feeds the shingle pipeline AND the final anti-join; ``sh``
-    feeds signatures AND 3 verify branches; ``sig`` feeds both band-join
-    sides — each is materialized once so no upstream stage re-executes."""
+    ``docs`` feeds the shingle pipeline AND the final anti-join, so it is
+    materialized here; the shared pipeline checkpoints its own doc-granular
+    intermediates (dedup.neardup_pairs)."""
     docs = materialize(docs)
-    sh = materialize(shingles_from(docs))
-    sig = materialize(minhash_signatures(sh))
-    cand = lsh_candidate_pairs(sig)
     dups = (
-        verify_jaccard(cand, sh)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        neardup_pairs(docs)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -94,14 +94,14 @@ def materialize(df: DataFrame) -> DataFrame:
     ``localCheckpoint`` computes it ONCE and replaces the lineage with the
     stored partitions. Spark does no cross-branch subtree reuse, so without
     this the LSH self-joins execute the signature stage on BOTH sides and
-    ``verify_jaccard`` re-derives the shingle explode up to 4 more times —
-    the most expensive stage of the pipeline running 2-6x (the round-2
-    bench outlier's structural amplifier).
+    the verify joins re-derive the shingle stage — the most expensive
+    stage of the pipeline running 2-6x (the round-2 bench outlier's
+    structural amplifier).
 
-    Scale note: signatures are one row per doc x k longs (tiny); the
-    shingle stream is corpus-sized but localCheckpoint storage is
-    MEMORY_AND_DISK — disk-backed replay of an exploded column is strictly
-    less work than recomputing the explode+hash stage per branch. On a real
+    Scale note: everything checkpointed in the minhash pipeline is one row
+    per DOC (shingle arrays, k-long signatures) — never the corpus-sized
+    exploded occurrence stream (round-4 restructure; checkpointing the
+    exploded stream more than doubled wall time at sf0.1). On a real
     cluster ``checkpoint()`` to HDFS/object storage survives executor loss;
     localCheckpoint is the single-node analog."""
     return df.localCheckpoint(eager=True)
@@ -307,7 +307,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql_over(source: str) -> str:
+    """Signature/banding/candidate CTE chain over a (doc_id, shingle)
+    source CTE — parameterized so the stop-shingle variant can run the
+    identical chain over its filtered shingle set."""
     b1 = sql_shared_hash32("shingle", "mh:a:")
     b2 = sql_shared_hash32("shingle", "mh:b:")
     mins = ",\n           ".join(
@@ -326,7 +329,7 @@ def _minhash_sql() -> str:
     sig AS (
         SELECT doc_id,
            {mins}
-        FROM shingles GROUP BY doc_id
+        FROM {source} GROUP BY doc_id
     ),
     bands AS (
         {bands}
@@ -339,32 +342,88 @@ def _minhash_sql() -> str:
     """
 
 
-def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _minhash_sql() -> str:
+    return _minhash_sql_over("shingles")
+
+
+def verify_jaccard(cand: DataFrame, shs: DataFrame) -> DataFrame:
     """Exact Jaccard computed ONLY for candidate pairs — the LSH contract:
-    all-pairs verification never happens; the shingle join is restricted to
-    the (small) candidate set first."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    all-pairs verification never happens.
+
+    Round-4 restructure (the round-3 cost leader's fix): verification joins
+    the candidate pairs to the per-doc shingle ARRAY table (one row per
+    doc) and computes ``|A ∩ B|`` IN-ROW via ``array_intersect`` — all
+    JVM codegen, no Python. The previous shape re-joined the corpus-sized
+    EXPLODED shingle stream twice per verification and re-aggregated,
+    which (a) forced the exploded stream to be materialized for reuse and
+    (b) concentrated hot-shingle skew into the verify join — the exact
+    hazard VERDICT r3 flagged. The array table is |docs| rows (tiny
+    relative to the occurrence stream); at 100 TB the joins shuffle on
+    doc_id — perfectly uniform keys — or broadcast under AQE when the
+    candidate set is small."""
+    a = shs.select(F.col("doc_id").alias("__ja"), F.col("shs").alias("shs_a"))
+    b = shs.select(F.col("doc_id").alias("__jb"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        cand.join(a, F.col("doc_a") == F.col("__ja"))
+        .join(b, F.col("doc_b") == F.col("__jb"))
         .select(
             "doc_a",
             "doc_b",
-            (F.col("inter").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("inter"))).alias(
-                "jaccard"
-            ),
+            (
+                inter.cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - inter)
+            ).alias("jaccard"),
         )
     )
+
+
+def drop_stop_shingles(shs: DataFrame, max_df: int) -> DataFrame:
+    """Remove shingles occurring in more than ``max_df`` documents before
+    hashing — the stop-shingle drop (module docstring): boilerplate
+    shingles shared by a large corpus fraction put a quadratic number of
+    pairs into one LSH band bucket and dominate every band, which is THE
+    skew hazard of shingle pipelines at 100 TB (same idea as stopword
+    removal; AQE skew-join only mitigates moderate skew).
+
+    The hot set is tiny by construction (few shingles can exceed a
+    corpus-fraction threshold), so it folds to a single array broadcast to
+    every task and removal is an in-row ``array_except`` — no extra
+    shuffle of the corpus."""
+    hot = (
+        shs.select(F.explode("shs").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .agg(F.collect_set("shingle").alias("__hot"))
+    )
+    return (
+        shs.join(F.broadcast(hot))
+        .select(
+            "doc_id",
+            F.array_except("shs", F.coalesce("__hot", F.array())).alias("shs"),
+        )
+        .filter(F.size("shs") > 0)
+    )
+
+
+def neardup_pairs(docs: DataFrame, *, stop_shingle_df: int | None = None) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard >= threshold): the
+    shared MinHash+LSH pipeline behind q_dedup_minhash, the cluster query,
+    and the corpus funnel.
+
+    Materialization contract: the per-doc shingle ARRAY table feeds the
+    signature stage and both verify branches — checkpointed once at |docs|
+    rows (NOT the corpus-sized exploded stream, which now exists only
+    transiently inside the signature aggregation). ``sig`` feeds both
+    sides of the band self-join — checkpointed at |docs| x k longs."""
+    shs = materialize(shingle_arrays(docs))
+    if stop_shingle_df is not None:
+        shs = materialize(drop_stop_shingles(shs, stop_shingle_df))
+    exploded = shs.select("doc_id", F.explode("shs").alias("shingle"))
+    sig = materialize(minhash_signatures(exploded))
+    cand = lsh_candidate_pairs(sig)
+    return verify_jaccard(cand, shs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @register(
@@ -388,13 +447,58 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     tags=("dedup", "flagship"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sh feeds the signature pipeline AND 3 verify_jaccard branches; sig
-    # feeds both sides of the band self-join — materialize each once so
-    # the 2-base-hash stage and the shingle explode run exactly once
-    sh = materialize(doc_shingles(spark, sf_dir))
-    sig = materialize(minhash_signatures(sh))
-    cand = lsh_candidate_pairs(sig)
-    return verify_jaccard(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return neardup_pairs(fan_out(load(spark, sf_dir, "documents")))
+
+
+#: stop-shingle threshold for the declared drop variant: shingles in more
+#: docs than this are boilerplate, not content.
+STOP_SHINGLE_DF = 10
+
+
+@register(
+    "q_dedup_minhash_stopshingle",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    raw_shingles AS (SELECT doc_id, shingle FROM shingles),
+    kept AS (
+        SELECT shingle FROM raw_shingles
+        GROUP BY shingle HAVING COUNT(*) <= {STOP_SHINGLE_DF}
+    ),
+    fshingles AS (
+        SELECT doc_id, shingle FROM raw_shingles
+        WHERE shingle IN (SELECT shingle FROM kept)
+    ),
+    {_minhash_sql_over('fshingles').strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fshingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM candidates c
+        JOIN fshingles a ON c.doc_a = a.doc_id
+        JOIN fshingles b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc=f"MinHash+LSH with the STOP-SHINGLE DROP applied (df > "
+    f"{STOP_SHINGLE_DF} shingles removed corpus-wide before hashing): the "
+    "production guard against band-bucket skew — a boilerplate shingle "
+    "shared by half the corpus puts O(n^2/4) pairs into one bucket, which "
+    "no AQE setting survives at 100 TB. The hot set folds to one "
+    "broadcast array; removal is an in-row array_except (zero extra "
+    "corpus shuffles). Jaccard is then computed over the REDUCED sets on "
+    "both engines — identical semantics cross-engine, verified by the "
+    "oracle's HAVING-filtered shingle CTE.",
+    tags=("dedup",),
+)
+def q_dedup_minhash_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs(
+        fan_out(load(spark, sf_dir, "documents")), stop_shingle_df=STOP_SHINGLE_DF
+    )
 
 
 # ---------------------------------------------------------------------------

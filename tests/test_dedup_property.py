@@ -51,3 +51,134 @@ def test_jaccard_matches_python(spark, seed):
                 if inter:
                     expected[(i, j)] = inter / (len(sh[i]) + len(sh[j]) - inter)
     assert got == expected, (seed, got, expected)
+
+
+# --- connected components: three-way equivalence + diameter scaling --------
+
+import pytest
+
+from sales_data_pipeline_gcp_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_star_matches_propagation_and_python(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(2, 30)
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randint(1, 2 * n))
+    ]
+    edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    expected = _py_components(edges)
+    star = {r.node: r.label for r in connected_components_star(df).collect()}
+    prop = {r.node: r.label for r in connected_components(df).collect()}
+    assert star == expected, (seed, star, expected)
+    assert prop == expected, (seed, prop, expected)
+
+
+def test_star_converges_on_long_chain_where_propagation_cannot(spark):
+    """A 64-node path graph has diameter 63: label propagation moves the
+    min label one hop per iteration, so a 12-iteration budget raises —
+    while large-star/small-star contracts the same chain within the same
+    budget (O(log^2 n) rounds). This is the scale property that justifies
+    the algorithm switch for 100 TB near-dup graphs."""
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    labels = {
+        r.node: r.label
+        for r in connected_components_star(df, max_rounds=12).collect()
+    }
+    assert labels == {i: 0 for i in range(64)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=12)
+
+
+# --- stop-shingle drop: semantics + skew bound under adversarial corpora ---
+
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    materialize,
+    minhash_signatures,
+    drop_stop_shingles,
+    shingle_arrays,
+)
+
+
+def _stop_corpus(n_docs: int = 40) -> list[tuple[int, str]]:
+    """Adversarial corpus: HALF the docs share one boilerplate sentence
+    (a classic crawl template), each doc also has unique content."""
+    boiler = "click here to subscribe now"
+    docs = []
+    for i in range(n_docs):
+        unique = f"u{i} v{i} w{i} x{i} y{i}"
+        text = f"{boiler} {unique}" if i % 2 == 0 else unique
+        docs.append((i, text))
+    return docs
+
+
+def test_drop_stop_shingles_semantics(spark):
+    docs = _stop_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    max_df = 5
+    got = {
+        r.doc_id: set(r.shs)
+        for r in drop_stop_shingles(shingle_arrays(df), max_df).collect()
+    }
+    # python reference: doc-frequency over distinct per-doc shingles
+    sh = {i: _py_shingles(t) for i, t in docs}
+    from collections import Counter
+
+    df_count = Counter(s for ss in sh.values() for s in ss)
+    expected = {
+        i: {s for s in ss if df_count[s] <= max_df}
+        for i, ss in sh.items()
+        if {s for s in ss if df_count[s] <= max_df}
+    }
+    assert got == expected
+
+
+def test_stop_shingle_drop_bounds_candidate_blowup(spark):
+    """Without the drop, the shared boilerplate shingles put every
+    even-numbered doc into the same LSH band buckets -> O((n/2)^2)
+    candidate pairs; with the drop, the boilerplate vanishes and the
+    unique content produces no candidates at all. This pins the skew
+    bound the 100 TB design depends on (dedup.drop_stop_shingles)."""
+    df = spark.createDataFrame(_stop_corpus(), "doc_id long, text string")
+
+    def n_candidates(shs):
+        sig = materialize(
+            minhash_signatures(shs.select("doc_id", F.explode("shs").alias("shingle")))
+        )
+        return lsh_candidate_pairs(sig).count()
+
+    shs_raw = materialize(shingle_arrays(df))
+    dense = n_candidates(shs_raw)
+    sparse = n_candidates(materialize(drop_stop_shingles(shs_raw, 5)))
+    assert dense >= (20 * 19) // 2  # boilerplate docs all collide
+    assert sparse == 0
