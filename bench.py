@@ -75,6 +75,16 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 4))
+        # adaptive re-measure: a >3x spread within one query's runs means an
+        # environmental event (GC storm, checkpoint-block eviction) landed
+        # mid-measurement — median-of-3 cannot outvote TWO polluted runs
+        # (observed: [8.6, 7.9, 1.6] for a query whose steady state is
+        # 1.6 s). Extra runs are cheap relative to a wrong official record.
+        while len(samples) < 2 * RUNS_PER_QUERY and max(samples) > 3 * min(samples):
+            gc.collect()
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, sf_dir))
+            samples.append(round(time.perf_counter() - t0, 4))
         runs[name] = samples
         timings[name] = round(statistics.median(samples), 4)
         # drop Python refs to per-run localCheckpoint RDDs so the JVM

@@ -502,6 +502,108 @@ def q_dedup_minhash_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3b. incremental dedup: new batch vs frozen corpus
+# ---------------------------------------------------------------------------
+
+#: every BATCH_MOD-th doc plays the role of today's incoming batch; the
+#: rest are the already-ingested corpus.
+BATCH_MOD = 10
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    batch AS (SELECT * FROM documents WHERE doc_id % {BATCH_MOD} = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % {BATCH_MOD} <> 0),
+    corpus_fp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+    {_minhash_sql_over('shingles').strip()},
+    cross_cand AS (
+        SELECT DISTINCT c.doc_a, c.doc_b FROM candidates c
+        WHERE (c.doc_a % {BATCH_MOD} = 0) <> (c.doc_b % {BATCH_MOD} = 0)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cross_cand c
+        JOIN shingles a ON c.doc_a = a.doc_id
+        JOIN shingles b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    near_hits AS (
+        SELECT CASE WHEN i.doc_a % {BATCH_MOD} = 0 THEN i.doc_a ELSE i.doc_b END AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT b.doc_id,
+           md5(b.text) IN (SELECT fp FROM corpus_fp) AS is_exact_dup,
+           b.doc_id IN (SELECT doc_id FROM near_hits) AS is_near_dup,
+           NOT (md5(b.text) IN (SELECT fp FROM corpus_fp)
+                OR b.doc_id IN (SELECT doc_id FROM near_hits)) AS keep
+    FROM batch b
+    """,
+    doc="INCREMENTAL dedup — the production 100 TB shape: a new batch is "
+    "deduped AGAINST the frozen corpus without ever re-deduping the "
+    "corpus itself. Exact layer: batch fingerprints semi-join the corpus "
+    "fingerprint set (at scale, a stored dedup index; one shuffle keyed "
+    "on fp). Near layer: the SAME banded LSH as q_dedup_minhash, but "
+    "candidates are restricted to CROSS pairs (one batch side, one "
+    "corpus side) — batch-internal and corpus-internal pairs are never "
+    "verified, so per-ingest cost scales with the BATCH, not the corpus. "
+    "At scale the corpus signatures/bands are precomputed and stored; "
+    "here both sides derive from the fixture split (doc_id % "
+    f"{BATCH_MOD}).",
+    tags=("dedup",),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+
+    corpus_fp = corpus.select(F.md5("text").alias("__fp")).distinct()
+    exact_ids = (
+        batch.select("doc_id", F.md5("text").alias("__fp"))
+        .join(corpus_fp, "__fp", "left_semi")
+        .select("doc_id")
+    )
+
+    shs = materialize(shingle_arrays(docs))
+    sig = materialize(
+        minhash_signatures(shs.select("doc_id", F.explode("shs").alias("shingle")))
+    )
+    cross = lsh_candidate_pairs(sig).filter(
+        (F.col("doc_a") % BATCH_MOD == 0) != (F.col("doc_b") % BATCH_MOD == 0)
+    )
+    near_ids = (
+        verify_jaccard(cross, shs)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.when(F.col("doc_a") % BATCH_MOD == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+
+    exact_flag = F.col("__e").isNotNull()
+    near_flag = F.col("__n").isNotNull()
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.select(F.col("doc_id"), F.lit(1).alias("__e")), "doc_id", "left")
+        .join(near_ids.select(F.col("doc_id"), F.lit(1).alias("__n")), "doc_id", "left")
+        .select(
+            "doc_id",
+            exact_flag.alias("is_exact_dup"),
+            near_flag.alias("is_near_dup"),
+            (~(exact_flag | near_flag)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash near-dup
 # ---------------------------------------------------------------------------
 

@@ -69,6 +69,22 @@ _SQL_DOC_SOURCE_PROFILE = """
 """
 
 
+_SQL_TOP_ORDERS_PER_SEGMENT = """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rn
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+    ) ranked
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+"""
+
+
 def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(sql)
@@ -99,6 +115,21 @@ def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sql_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, _SQL_SEGMENT_LEADERS)
+
+
+@register(
+    "q_sql_top_orders_per_segment",
+    oracle=_SQL_TOP_ORDERS_PER_SEGMENT,
+    doc="SQL-string surface #4 (shared-text contract): window function "
+    "through the SQL entry point — ROW_NUMBER over a join, partitioned "
+    "top-3 per market segment with a deterministic orderkey tiebreak; "
+    "the row_number width is pinned to BIGINT on both sides (DuckDB "
+    "widens window counters to BIGINT, Spark stays INT without the "
+    "cast).",
+    tags=("sql",),
+)
+def q_sql_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_sql(spark, sf_dir, _SQL_TOP_ORDERS_PER_SEGMENT)
 
 
 @register(

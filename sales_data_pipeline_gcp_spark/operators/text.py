@@ -587,3 +587,72 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_fp"
         ),
     )
+
+
+#: lexical-familiarity vocabulary floor: tokens seen in fewer docs are OOV.
+FAMILIARITY_MIN_DF = 3
+
+
+@register(
+    "q_text_familiarity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_WORDS_SQL}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+        HAVING COUNT(DISTINCT doc_id) >= {FAMILIARITY_MIN_DF}
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(v.token) AS n_known,
+               COALESCE(SUM(v.df), 0) AS df_mass
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - n_known AS BIGINT) AS n_oov,
+           CAST(n_known AS DOUBLE) / n_tokens AS known_ratio,
+           CAST(df_mass AS DOUBLE) / n_tokens AS avg_token_df
+    FROM scored
+    """,
+    doc="Lexical-familiarity quality score — the integer-exact stand-in "
+    "for LM-perplexity filtering (log-prob sums are not bit-reproducible "
+    "cross-engine; document-frequency mass is): per doc, the fraction of "
+    "tokens in the corpus vocabulary (df >= threshold) and the mean "
+    "document-frequency of its tokens. Gibberish and boilerplate-free "
+    "spam score low on known_ratio; template text scores anomalously "
+    "high on avg_token_df — both standard pre-training corpus signals. "
+    "Scale shape: token explode -> one df agg (map-side combined), "
+    "vocabulary join back on the token key; at 100 TB the vocabulary is "
+    "Zipf-truncated by the df floor, so the join's build side stays "
+    "bounded while the probe side streams.",
+    tags=("text",),
+)
+def q_text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(_words()).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= FAMILIARITY_MIN_DF)
+    )
+    scored = (
+        tok.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("df").alias("n_known"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("df_mass"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - F.col("n_known")).cast("bigint").alias("n_oov"),
+        (F.col("n_known").cast("double") / F.col("n_tokens")).alias("known_ratio"),
+        (F.col("df_mass").cast("double") / F.col("n_tokens")).alias("avg_token_df"),
+    )

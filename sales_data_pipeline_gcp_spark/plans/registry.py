@@ -95,70 +95,72 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never driver-adjudicated in ANY round — highest marginal value.
-    # (a) round-3 queries added before this rotation:
-    "q_join_asof_fwd",       # added after the round-2 window was full
-    "q_agg_approx_bounds",   # oracled bound-check twin of q_agg_approx
-    "q_tpch_q1_pricing",
-    "q_text_repetition",
-    "q_text_redact",
-    "q_dedup_lines",
-    "q_text_normalize",
-    "q_domain_mix",
-    "q_tpch_q5_local_supplier",
-    "q_tpch_q10_returns",
-    "q_argmin_join",
-    "q_text_chunk",
-    # (b) round-3 queries added in the second half of the round: the
-    # remaining TPC-H decorrelation/subquery shapes ...
-    "q_tpch_q4_late_orders",
-    "q_tpch_q8_market_share",
-    "q_tpch_q11_important_parts",
-    "q_tpch_q13_custdist",
-    "q_tpch_q14_promo",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_supplier_variety",
-    "q_tpch_q17_small_qty",
-    "q_tpch_q19_disjunctive",
-    "q_tpch_q21_waiting",
-    "q_tpch_q22_idle_rich",
-    # ... the retrieval module ...
-    "q_inverted_index",
-    "q_bm25",
-    "q_seq_pack",
-    # ... and the round-3 operator batch
-    "q_dedup_fuzzy",
-    "q_embed_quantize",
-    "q_kmeans_iter",
-    "q_set_bag_ops",
-    "q_window_cume",
-    # plan- or value-touched this round -> green rows are stale, re-confirm:
-    # minhash family switched to the derived (Kirsch-Mitzenmacher) hash
-    # family so signature VALUES changed; simhash/percentile plans changed
+    # ---- round-4 rotation. Context: the driver REGENERATED the fixture
+    # parquet this round (events.ts switched to TIMESTAMP micros), so all
+    # 122 prior green rows were adjudicated on different bytes; the window
+    # prioritizes (a) never-adjudicated queries, (b) the dedup pipelines
+    # whose plans were restructured this round, (c) the event family whose
+    # LOADER changed (tz-free ns normalization in io.load), then (d) the
+    # queries whose latest green is oldest (round 1).
+    # (a) never driver-adjudicated — new this round:
+    "q_sql_revenue_by_nation",      # spark.sql-surface trio
+    "q_sql_segment_leaders",
+    "q_sql_doc_source_profile",
+    "q_tpch_q2_min_cost_supplier",  # TPC-H deck completion
+    "q_tpch_q6_forecast",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q12_priority_class",
+    "q_tpch_q20_promotion_suppliers",
+    "q_dedup_minhash_stopshingle",  # stop-shingle drop variant
+    "q_multimodal_decode",          # real PNG/JPEG/WebP header codec
+    "q_dedup_incremental",          # batch-vs-frozen-corpus dedup
+    "q_text_familiarity",           # df-mass lexical quality score
+    # (b) plan-restructured this round (array-intersect verify, shared
+    # neardup_pairs, large-star/small-star components):
     "q_dedup_minhash",
     "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
     "q_dedup_clusters",
     "q_corpus_prepare",
-    "q_decontaminate",
-    "q_relational_division",
-    "q_sim_ann_ivf",
-    "q_percentile",
-    # round-1/2 greens as family regression canaries (all untouched since
-    # their green rows; every family keeps local-parity cover, and the
-    # full r1-green re-adjudication pass that round 2 planned completed
-    # with 48/50 green — these seven keep one driver-fresh row per family)
-    "q_agg_rollup",
-    "q_dedup_exact",
-    "q_join_outer",
-    "q_stream_tumbling",
-    "q_string_scalars",
-    "q_topk",
-    "q_window_frame",
-    # slot 50: the flagship as a regression canary (green r1 + r2)
-    "q_agg_group",
+    # (c) event-time family — io.load's ts normalization changed for the
+    # new fixture layout; re-confirm every consumer:
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_ingest",
+    "q_rollup_hierarchy",
+    "q_funnel",
+    "q_event_rates",
+    "q_sessionize",
+    "q_outlier_zscore",
+    # (d) oldest greens (round 1) — complete the re-adjudication sweep:
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_case_impute",
+    "q_date_scalars",
+    "q_filter_nulls",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_range",
+    "q_join_semi_anti",
+    "q_join_star",
+    "q_json_extract",
+    "q_project_cast",
+    "q_set_intersect_except",
+    "q_set_union",
+    "q_sim_topk",
+    "q_sort_multi",
+    # (two slots ceded to the (a)-group: q_text_tokens/q_text_termstats
+    # are the simplest members of the r1 text family and keep dtype-strict
+    # local-parity cover)
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_topk_per_group",
 )
 
 

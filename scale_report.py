@@ -33,6 +33,11 @@ QUERIES = [
     # round-3 additions: line-keyed window dedup and the widest new join
     "q_dedup_lines",          # explode -> line-keyed first-occurrence window
     "q_tpch_q5_local_supplier",  # 6-way join with local predicate
+    # round-4 additions: contraction-based clustering, the stop-shingle
+    # variant, and a spark.sql-surface join
+    "q_dedup_clusters",       # large-star/small-star contraction
+    "q_dedup_minhash_stopshingle",  # hot-set broadcast + array_except
+    "q_sql_revenue_by_nation",      # SQL-string surface, 4-way join
 ]
 
 
