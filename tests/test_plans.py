@@ -95,3 +95,71 @@ def test_tpch_q3_filters_pushed_to_all_scans(spark, sf_dir):
 def test_tpch_q18_semi_join_before_wide_join(spark, sf_dir):
     plan = plan_str(QS["q_tpch_q18_big_orders"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6 is a pure filtered global agg: every predicate (date range,
+    discount band, quantity cap) must appear in PushedFilters and the scan
+    must read ONLY the four referenced columns."""
+    plan = plan_str(QS["q_tpch_q6_forecast"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read_schema
+    assert re.search(r"^\(\d+\) HashAggregate", plan, re.M)
+
+
+def test_tpch_q9_dims_broadcast_fact_streams(spark, sf_dir):
+    """Q9's 5-way join: part/supplier/nation broadcast; lineitem must NOT
+    be on a broadcast side (it is the streamed fact)."""
+    plan = plan_str(QS["q_tpch_q9_product_profit"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    name_pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "p_name" in l]
+    assert name_pushed, "p_name LIKE filter should reach the part scan"
+
+
+def test_tpch_q20_ins_are_semi_joins(spark, sf_dir):
+    """Q20's nested INs must compile to semi joins (never distinct+inner):
+    one LeftSemi for the part IN, one for the supplier IN."""
+    plan = plan_str(QS["q_tpch_q20_promotion_suppliers"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_sql_surface_gets_same_plan_treatment(spark, sf_dir):
+    """spark.sql text and the DataFrame API compile through the same
+    Catalyst pipeline: the SQL-surface join query must show broadcast
+    joins, scan-level date pushdown, and partial aggregation, exactly like
+    its DataFrame siblings."""
+    plan = plan_str(QS["q_sql_revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
+    assert pushed, "date range should reach the orders scan through spark.sql"
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+
+
+def test_minhash_signature_single_shuffle(spark, sf_dir):
+    """The signature stage's claim (dedup.minhash_signatures): base hashes
+    are computed map-side and all k mins fold in ONE partially-aggregated
+    groupBy — so the physical plan between the array explode and the
+    signature output contains exactly one Exchange."""
+    from sales_data_pipeline_gcp_spark.io import load
+    from sales_data_pipeline_gcp_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_arrays,
+    )
+
+    shs = shingle_arrays(load(spark, sf_dir, "documents"))
+    plan = plan_str(minhash_signatures(shs.selectExpr("doc_id", "explode(shs) AS shingle")))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2  # partial+final
+
+
+def test_incremental_dedup_restricts_to_cross_pairs(spark, sf_dir):
+    """The incremental pipeline must verify ONLY batch-vs-corpus candidate
+    pairs: the cross-side filter sits below the verify joins, and the
+    exact layer is a semi join on the fingerprint."""
+    plan = plan_str(QS["q_dedup_incremental"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan  # fingerprint membership
+    assert "CartesianProduct" not in plan
