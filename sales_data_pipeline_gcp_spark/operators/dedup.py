@@ -604,6 +604,100 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3c. content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+#: a token ends a chunk when its hash % CDC_MOD == 0 -> expected chunk
+#: length = CDC_MOD tokens, boundaries INVARIANT under insertions elsewhere.
+CDC_MOD = 16
+
+
+@register(
+    "q_dedup_cdc_chunks",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ),
+    base AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               list_transform(ws, t -> {sql_shared_hash32('t', 'cdc:')}) AS hs
+        FROM w WHERE len(ws) >= 1
+    ),
+    bounded AS (
+        SELECT doc_id, ws,
+               list_concat(list_concat([0],
+                   list_filter(range(1, n), i -> hs[i] % {CDC_MOD} = 0)), [n]) AS bounds
+        FROM base
+    ),
+    chunks AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(bounds)),
+                   j -> md5(array_to_string(ws[bounds[j]+1 : bounds[j+1]], ' ')))) AS chunk_fp
+        FROM bounded
+    )
+    SELECT chunk_fp,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM chunks
+    GROUP BY chunk_fp
+    """,
+    doc="Content-defined chunking dedup (the FastCDC/gear-hash idea over "
+    "tokens): a chunk boundary falls after any token whose hash is 0 mod "
+    f"{CDC_MOD}, so boundaries depend only on LOCAL content — insert a "
+    "paragraph and every other chunk's fingerprint survives, which is "
+    "exactly what fixed-width chunking destroys. Chunks are derived "
+    "ENTIRELY in-row (token hash array -> boundary filter -> md5 per "
+    "span; one narrow map), then one corpus-wide shuffle on the chunk "
+    "fingerprint aggregates copies — the sub-document dedup layer between "
+    "exact (whole-doc) and MinHash (near-doc) in a training-data "
+    "pipeline.",
+    tags=("dedup",),
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = cdc_chunks(fan_out(load(spark, sf_dir, "documents")))
+    return chunks.groupBy("chunk_fp").agg(
+        F.count("*").alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_fp) — one row per content-defined chunk occurrence.
+    Boundary after token i iff hash(token_i) % CDC_MOD == 0; the whole
+    derivation is in-row (no shuffle)."""
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    base = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 1)
+    n = F.size("ws")
+    hs = F.transform(F.col("ws"), lambda t: shared_hash32(t, "cdc:"))
+    base = base.select("doc_id", "ws", n.alias("n"), hs.alias("hs"))
+    # interior boundaries: 1..n-1 (sequence clamped to stay total; the
+    # i <= n-1 guard drops the clamp artifact — see shingle_arrays)
+    bidx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1))),
+        lambda i: (i <= F.col("n") - 1)
+        & (F.element_at(F.col("hs"), i) % CDC_MOD == 0),
+    )
+    bounds = F.concat(F.array(F.lit(0)), bidx, F.array(F.col("n")))
+    bounded = base.select("doc_id", "ws", bounds.alias("bounds"))
+    span_fp = lambda j: F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("ws"),
+                F.element_at(F.col("bounds"), j) + 1,
+                F.element_at(F.col("bounds"), j + 1) - F.element_at(F.col("bounds"), j),
+            ),
+        )
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("bounds") - 1), lambda j: span_fp(j)
+    )
+    return bounded.select("doc_id", F.explode(fps).alias("chunk_fp"))
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash near-dup
 # ---------------------------------------------------------------------------
 

@@ -515,3 +515,118 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("c_acctbal", 2).over(wf).alias("second_low_bal"),
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities_csv,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="LISTAGG / string_agg surface: the set of values per group as ONE "
+    "deterministic string — collect_set is unordered in Spark (and "
+    "string_agg order is undefined without ORDER BY in most engines), so "
+    "the declared form sorts the set BEFORE joining, which is the only "
+    "portable listagg. Scale: the per-group set is bounded (5 "
+    "priorities), so the agg buffer stays O(|distinct|), not O(rows).",
+    tags=("agg",),
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+                "priorities_csv"
+            ),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_linestatus AS mode_status, cnt
+    FROM (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY COUNT(*) DESC, l_linestatus
+               ) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    ) t
+    WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    doc="MODE (most frequent value) per group with a deterministic "
+    "value-order tiebreak — native mode() is tie-ambiguous in both "
+    "engines, so the portable form is count + row_number. Scale: the "
+    "count agg collapses map-side to |group x value| rows; the window "
+    "runs over that tiny aggregate, never the fact table.",
+    tags=("agg",),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), F.col("l_linestatus").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"), "cnt")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_window_share",
+    oracle=f"""
+    WITH nat AS (
+        SELECT n_name, {sql_sum('o_totalprice', 2)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           revenue / SUM(revenue) OVER () AS revenue_share
+    FROM nat
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="Percent-of-total (ratio_to_report shape): grouped exact revenue, "
+    "then each group's share of the grand total via an empty-frame window "
+    "SUM. The window runs over the 25-row aggregate — a single-partition "
+    "window is only safe AFTER aggregation has collapsed the data (on the "
+    "fact table it would serialize; on |groups| rows it is free). Both "
+    "engines divide the same exact-decimal-derived doubles, so shares are "
+    "bit-identical.",
+    tags=("window",),
+)
+def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    nat = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(exact_sum("o_totalprice", 2).alias("revenue"))
+    )
+    return (
+        nat.withColumn("revenue_share", F.col("revenue") / F.sum("revenue").over(W.partitionBy()))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )

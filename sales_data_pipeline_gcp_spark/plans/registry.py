@@ -115,6 +115,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_multimodal_decode",          # real PNG/JPEG/WebP header codec
     "q_dedup_incremental",          # batch-vs-frozen-corpus dedup
     "q_text_familiarity",           # df-mass lexical quality score
+    "q_dedup_cdc_chunks",           # content-defined chunking dedup
+    "q_sql_top_orders_per_segment", # SQL surface: window functions
+    "q_agg_listagg",                # deterministic string_agg
+    "q_agg_mode",                   # most-frequent-value w/ tiebreak
+    "q_window_share",               # percent-of-total window
+    "q_events_retention",           # cohort retention matrix
     # (b) plan-restructured this round (array-intersect verify, shared
     # neardup_pairs, large-star/small-star components):
     "q_dedup_minhash",
@@ -133,22 +139,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_event_rates",
     "q_sessionize",
     "q_outlier_zscore",
-    # (d) oldest greens (round 1) — complete the re-adjudication sweep:
+    # (d) oldest greens (round 1) — the most complex representative per
+    # family (slots ceded to (a): q_agg_distinct/global, q_set_union,
+    # q_window_lag, q_join_semi_anti, q_json_extract stay local-parity
+    # covered and their families keep a window representative):
     "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
     "q_case_impute",
     "q_date_scalars",
     "q_filter_nulls",
     "q_join_full",
     "q_join_inner",
     "q_join_range",
-    "q_join_semi_anti",
     "q_join_star",
-    "q_json_extract",
     "q_project_cast",
     "q_set_intersect_except",
-    "q_set_union",
     "q_sim_topk",
     "q_sort_multi",
     # (two slots ceded to the (a)-group: q_text_tokens/q_text_termstats
@@ -158,7 +162,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_text_langid",
     "q_text_quality",
     "q_text_tfidf",
-    "q_window_lag",
     "q_window_rank",
     "q_window_topk_per_group",
 )

@@ -182,3 +182,34 @@ def test_stop_shingle_drop_bounds_candidate_blowup(spark):
     sparse = n_candidates(materialize(drop_stop_shingles(shs_raw, 5)))
     assert dense >= (20 * 19) // 2  # boilerplate docs all collide
     assert sparse == 0
+
+
+# --- content-defined chunking: insertion invariance ------------------------
+
+from sales_data_pipeline_gcp_spark.operators.dedup import cdc_chunks
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_cdc_chunks_survive_insertion(spark, seed):
+    """The CDC property fixed-width chunking lacks: inserting a span in
+    the middle of a document changes ONLY the chunk(s) overlapping the
+    edit — every chunk fully before or after it keeps its fingerprint.
+    Tokens drawn from a 200-word vocabulary so boundaries occur at the
+    expected 1-in-CDC_MOD rate."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    original = [rng.choice(vocab) for _ in range(rng.randint(60, 120))]
+    pos = rng.randint(10, len(original) - 10)
+    inserted = original[:pos] + [rng.choice(vocab) for _ in range(rng.randint(5, 20))] + original[pos:]
+
+    df = spark.createDataFrame(
+        [(0, " ".join(original)), (1, " ".join(inserted))], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    a = [r.chunk_fp for r in rows if r.doc_id == 0]
+    b = {r.chunk_fp for r in rows if r.doc_id == 1}
+    # every original chunk except the (at most 2) overlapping the edit
+    # survives in the edited doc
+    surviving = [fp for fp in a if fp in b]
+    assert len(surviving) >= len(a) - 2, (seed, len(a), len(surviving))
