@@ -26,7 +26,7 @@ from sales_data_pipeline_gcp_spark.operators.dedup import (
     fan_out,
     materialize,
     neardup_pairs,
-    shingles_from,
+    shingle_arrays,
 )
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -116,23 +116,29 @@ CONTAM_RATIO = 0.3
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
-    # sh feeds the bench dictionary, sizes, and the hits join — 3 branches
-    sh = materialize(shingles_from(docs))
+    # doc-granular checkpoint (one row per doc with its distinct-shingle
+    # ARRAY) feeds both branches; per-doc sizes are F.size — in-row, no
+    # counting shuffle — and only the dictionary + hits branches explode
+    # (same restructure as the minhash pipeline: never checkpoint the
+    # corpus-sized exploded stream)
+    shs = materialize(shingle_arrays(docs))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bench = sh.filter(is_bench).select("shingle").distinct()
-    corpus_sh = sh.filter(~is_bench)
-    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    bench = (
+        shs.filter(is_bench).select(F.explode("shs").alias("shingle")).distinct()
+    )
+    corpus = shs.filter(~is_bench).select(
+        "doc_id", F.size("shs").alias("n_shingles"), "shs"
+    )
     hits = (
-        corpus_sh.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
+        corpus.select("doc_id", "n_shingles", F.explode("shs").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_shingles")
         .agg(F.count("*").alias("n_overlap"))
     )
     ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
-    return (
-        hits.join(sizes, "doc_id")
-        .select("doc_id", "n_overlap", "n_shingles", ratio.alias("overlap_ratio"))
-        .filter(F.col("overlap_ratio") >= CONTAM_RATIO)
-    )
+    return hits.select(
+        "doc_id", "n_overlap", "n_shingles", ratio.alias("overlap_ratio")
+    ).filter(F.col("overlap_ratio") >= CONTAM_RATIO)
 
 
 #: Line-level exact dedup (the C4-style rule: drop every line whose exact

@@ -1,0 +1,271 @@
+"""Data-layout operators: Z-order (Morton) clustering.
+
+At 100 TB the difference between a full scan and a pruned one is the
+LAYOUT: parquet row-group min/max stats only prune when values are
+clustered, and sorting on one column destroys locality on every other.
+A Z-order (Morton) key interleaves the bits of several columns so rows
+close in the multi-dimensional key space land in the same row group —
+min/max footers stay tight on ALL interleaved dimensions and scans with a
+predicate on ANY of them prune (the technique behind OPTIMIZE ZORDER BY in
+lakehouse table formats; public algorithm).
+
+Two surfaces:
+
+- ``zorder_key`` / ``q_zorder_layout``: the 32-bit Morton key from two
+  16-bit dimensions, as a pure Catalyst integer expression (mask-shift
+  spreading, no UDF) — oracled bit-for-bit, plus a per-bucket locality
+  profile that NUMERICALLY demonstrates the clustering property (each
+  z-bucket covers a narrow value range in BOTH dimensions).
+- ``write_zordered``: repartitionByRange + sortWithinPartitions on the
+  key, then parquet append — the operational rewrite; the test asserts
+  per-file min/max ranges shrink vs the unordered layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+#: (mask, shift) steps that spread a 16-bit int so its bits occupy even
+#: positions of a 32-bit int: x = (x | x<<s) & m, for s in 8,4,2,1.
+_SPREAD_STEPS = (
+    (0x00FF00FF, 8),
+    (0x0F0F0F0F, 4),
+    (0x33333333, 2),
+    (0x55555555, 1),
+)
+
+
+def _spread16(c: Column) -> Column:
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    for mask, shift in _SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _sql_spread16(expr: str) -> str:
+    x = f"({expr} & 65535)"
+    for mask, shift in _SPREAD_STEPS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """32-bit Morton key: bits of ``a`` on even positions, ``b`` odd."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+def sql_zorder_key(a: str, b: str) -> str:
+    return f"({_sql_spread16(a)} | ({_sql_spread16(b)} << 1))"
+
+
+#: bucket = top bits of the 32-bit key -> 256 coarse z-regions.
+_BUCKET_SHIFT = 24
+
+# Each dimension is affine-scaled to the FULL 16-bit range before
+# interleaving: Morton keys only give 2-D locality when the dimensions
+# occupy comparable bit widths — with raw values, a column whose domain is
+# 4 bits contributes nothing to the key's high bits and the "z-order"
+# degrades to a plain sort on the wider column (caught by
+# tests/test_layout.py on the fixture's 10-supplier smoke slice).
+_SCALE_A = "((l_partkey - mn_a) * 65535) {div} greatest(mx_a - mn_a, 1)"
+_SCALE_B = "((l_suppkey - mn_b) * 65535) {div} greatest(mx_b - mn_b, 1)"
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH stats AS (
+        SELECT MIN(l_partkey) AS mn_a, MAX(l_partkey) AS mx_a,
+               MIN(l_suppkey) AS mn_b, MAX(l_suppkey) AS mx_b
+        FROM lineitem
+    ),
+    keyed AS (
+        SELECT {sql_zorder_key(_SCALE_A.format(div='//'), _SCALE_B.format(div='//'))} AS z,
+               l_partkey, l_suppkey
+        FROM lineitem, stats
+    )
+    SELECT z >> {_BUCKET_SHIFT} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM keyed
+    GROUP BY z >> {_BUCKET_SHIFT}
+    ORDER BY z_bucket
+    """,
+    doc="Z-order layout profile: Morton key from (l_partkey, l_suppkey), "
+    "each dimension affine-scaled to 16 bits from its broadcast min/max "
+    "(one single-row aggregate — the scalar-subquery pattern) then "
+    "interleaved by pure mask-shift Catalyst expressions (no UDF; "
+    "integer-exact, bit-identical in the oracle). Bucketed by the key's "
+    "top bits, the per-bucket min/max of BOTH dimensions demonstrates "
+    "the clustering property: every z-bucket spans a narrow range of "
+    "partkey AND suppkey simultaneously — what makes row-group min/max "
+    "stats prunable for predicates on either column after a z-ordered "
+    "rewrite, where a single-column sort leaves the other dimension's "
+    "footers spanning the full domain.",
+    tags=("layout",),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("mn_a"),
+        F.max("l_partkey").alias("mx_a"),
+        F.min("l_suppkey").alias("mn_b"),
+        F.max("l_suppkey").alias("mx_b"),
+    )
+    keyed = li.crossJoin(F.broadcast(stats)).select(
+        zorder_key(
+            F.expr(_SCALE_A.format(div="div")), F.expr(_SCALE_B.format(div="div"))
+        ).alias("z"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return (
+        keyed.groupBy(F.shiftright("z", _BUCKET_SHIFT).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    cols: tuple[str, str],
+    path: str,
+    *,
+    n_files: int = 16,
+) -> None:
+    """Operational z-ordered rewrite: scale both columns to 16 bits from
+    their min/max (broadcast single-row stats), range-partition on the
+    Morton key, sort within partitions, write parquet. Each output file
+    then holds a contiguous z-range, so its footer min/max is tight on
+    BOTH columns — the OPTIMIZE ZORDER BY shape."""
+    a, b = cols
+    stats = df.agg(
+        F.min(a).alias("__mn_a"),
+        F.max(a).alias("__mx_a"),
+        F.min(b).alias("__mn_b"),
+        F.max(b).alias("__mx_b"),
+    )
+    sa = F.expr(f"(({a} - __mn_a) * 65535) div greatest(__mx_a - __mn_a, 1)")
+    sb = F.expr(f"(({b} - __mn_b) * 65535) div greatest(__mx_b - __mn_b, 1)")
+    (
+        df.crossJoin(F.broadcast(stats))
+        .select(*df.columns, zorder_key(sa, sb).alias("__z"))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter (runtime-filter shape)
+# ---------------------------------------------------------------------------
+
+from sales_data_pipeline_gcp_spark.functions.hashing import sql_shared_hash32
+
+#: two hash positions per key (k=2 Bloom filter) in a 63-bit bitmap —
+#: position 63 would be the BIGINT sign bit, where DuckDB raises on
+#: overflow while Spark wraps silently; 63 keeps both engines exact.
+_BLOOM_BITS = 63
+
+
+def _bits_sql(key_expr: str) -> str:
+    """SQL (shared dialect core) for a key's 2-bit 64-bit Bloom bitmap."""
+    h1 = f"({sql_shared_hash32(key_expr, 'bf1:')} % {_BLOOM_BITS})"
+    h2 = f"({sql_shared_hash32(key_expr, 'bf2:')} % {_BLOOM_BITS})"
+    return f"((CAST(1 AS BIGINT) << CAST({h1} AS INTEGER)) | (CAST(1 AS BIGINT) << CAST({h2} AS INTEGER)))"
+
+
+@register(
+    "q_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (
+        SELECT p_partkey FROM part WHERE p_size = 25
+    ),
+    bloom AS (
+        SELECT bit_or({_bits_sql('CAST(p_partkey AS VARCHAR)')}) AS bf FROM dim
+    ),
+    probed AS (
+        SELECT l_partkey,
+               ({_bits_sql('CAST(l_partkey AS VARCHAR)')} & bf)
+                   = {_bits_sql('CAST(l_partkey AS VARCHAR)')} AS candidate,
+               l_partkey IN (SELECT p_partkey FROM dim) AS actual
+        FROM lineitem, bloom
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN candidate THEN 1 END) AS n_candidates,
+           COUNT(CASE WHEN actual THEN 1 END) AS n_true,
+           COUNT(CASE WHEN candidate AND NOT actual THEN 1 END) AS n_false_pos,
+           CAST(COUNT(CASE WHEN candidate AND NOT actual THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS fp_rate
+    FROM probed
+    """,
+    doc="Bloom-filter prefilter — the runtime-filter shape Spark's own "
+    "InjectRuntimeFilter applies to shuffle joins, built explicitly and "
+    "oracled: the filtered dim's keys fold into ONE 64-bit bitmap (k=2 "
+    "positions per key, bit_or aggregate), broadcast as a single row; "
+    "the fact side tests membership with two ANDed bit probes — a pure "
+    "map-side reject BEFORE any shuffle or join. The query reports the "
+    "candidate/true/false-positive split, making the filter's "
+    "selectivity-vs-fp-rate trade measurable. At 100 TB this is how a "
+    "selective dim filter prunes a fact scan that partition pruning "
+    "cannot touch; the 64-bit toy size keeps the oracle exact — "
+    "production sizes the bitmap to keys/fp-target.",
+    tags=("layout",),
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Python shiftleft API takes a literal shift only, so the two
+    # hash positions become named columns and the shifts go through the
+    # SQL builtin (which accepts column shift amounts)
+    from sales_data_pipeline_gcp_spark.functions.hashing import shared_hash32
+
+    def with_bits(df: DataFrame, key: str) -> DataFrame:
+        h1 = (shared_hash32(F.col(key).cast("string"), "bf1:") % _BLOOM_BITS).cast("int")
+        h2 = (shared_hash32(F.col(key).cast("string"), "bf2:") % _BLOOM_BITS).cast("int")
+        return (
+            df.withColumn("__h1", h1)
+            .withColumn("__h2", h2)
+            .withColumn(
+                "__bits",
+                F.expr(
+                    "shiftleft(cast(1 as bigint), __h1) | shiftleft(cast(1 as bigint), __h2)"
+                ),
+            )
+            .drop("__h1", "__h2")
+        )
+
+    dim = load(spark, sf_dir, "part").filter(F.col("p_size") == 25).select("p_partkey")
+    bloom = with_bits(dim, "p_partkey").agg(F.bit_or("__bits").alias("bf"))
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    dim_flag = dim.select(F.col("p_partkey").alias("l_partkey"), F.lit(True).alias("__in"))
+    probed = (
+        with_bits(li, "l_partkey")
+        .crossJoin(F.broadcast(bloom))
+        .join(F.broadcast(dim_flag), "l_partkey", "left")
+        .select(
+            (F.col("__bits").bitwiseAND(F.col("bf")) == F.col("__bits")).alias("candidate"),
+            F.coalesce(F.col("__in"), F.lit(False)).alias("actual"),
+        )
+    )
+    return probed.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("candidate"), 1)).alias("n_candidates"),
+        F.count(F.when(F.col("actual"), 1)).alias("n_true"),
+        F.count(F.when(F.col("candidate") & ~F.col("actual"), 1)).alias("n_false_pos"),
+        (
+            F.count(F.when(F.col("candidate") & ~F.col("actual"), 1)).cast("double")
+            / F.count("*")
+        ).alias("fp_rate"),
+    )

@@ -81,6 +81,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.stats",
         "sales_data_pipeline_gcp_spark.operators.retrieval",
         "sales_data_pipeline_gcp_spark.operators.sql_surface",
+        "sales_data_pipeline_gcp_spark.operators.layout",
     ):
         importlib.import_module(mod)
 
