@@ -74,3 +74,45 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(cust, updates, "c_custkey")
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS change_id,
+           o_totalprice AS value,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM orders
+    """,
+    doc="SCD Type-2 interval construction — the warehouse history op: a "
+    "stream of per-key change events becomes validity intervals "
+    "[valid_from, valid_to) with an open-ended current row, via LEAD over "
+    "(key, event-time) with a unique-id tiebreak (same-timestamp changes "
+    "are ordered deterministically, so both engines build identical "
+    "histories). One shuffle on the key; each key's history is built in "
+    "one sorted pass — at 100 TB this is the standard dimension-history "
+    "rebuild, and the incremental variant merges only keys present in "
+    "the change batch (merge_upsert above).",
+    tags=("merge",),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("change_id"),
+        F.col("o_totalprice").alias("value"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

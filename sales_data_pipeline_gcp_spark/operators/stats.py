@@ -191,3 +191,58 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(divisor), F.col("n_priorities") == F.col("__n_pr"))
         .select("c_custkey", "n_priorities")
     )
+
+
+_DQ_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_dq_profile",
+    oracle=f"""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               {', '.join(
+                   f"COUNT(*) - COUNT({c}) AS nulls_{c}, "
+                   f"COUNT(DISTINCT {c}) AS nd_{c}, "
+                   f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}"
+                   for c in _DQ_COLS)}
+        FROM lineitem
+    )
+    {' UNION ALL '.join(
+        f"SELECT '{c}' AS column_name, n_rows, nulls_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_val, mx_{c} AS max_val FROM agg"
+        for c in _DQ_COLS)}
+    ORDER BY column_name
+    """,
+    doc="Data-quality profile — the expectations/constraint-check report "
+    "(Deequ/dbt-test shape): per monitored column, null count, distinct "
+    "count, and min/max, all from ONE scan (a single aggregate row, "
+    "unpivoted to one report row per column). At 100 TB profiling cost "
+    "equals one pass regardless of how many columns are monitored; "
+    "COUNT(DISTINCT c) for several columns expands to Spark's standard "
+    "multi-distinct Expand, which is the exact trade a production "
+    "profiler would swap for HLL sketches (q_agg_approx) past "
+    "cardinality limits.",
+    tags=("stats",),
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _DQ_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _DQ_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_DQ_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    ).orderBy("column_name")

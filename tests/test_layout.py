@@ -71,3 +71,16 @@ def test_zordered_write_tightens_footers_on_both_dims(spark, sf_smoke_dir, tmp_p
         # file should cover a fraction of BOTH domains; random placement
         # covers nearly all of each. 0.6 leaves slack for skewed domains.
         assert z_span < 0.6 * plain_span, (col, z_span, plain_span)
+
+
+def test_bloom_prefilter_never_false_negative(spark, sf_dir):
+    """The property that makes a Bloom prefilter SAFE to apply before a
+    join: every true member must survive the bitmap test (false positives
+    cost extra work; a false negative silently drops rows)."""
+    from sales_data_pipeline_gcp_spark.plans import registry
+
+    row = registry.all_queries()["q_bloom_prefilter"].fn(spark, sf_dir).collect()[0]
+    # all actual matches are candidates: candidates >= true and the
+    # false-positive count accounts exactly for the difference
+    assert row.n_candidates == row.n_true + row.n_false_pos
+    assert row.n_true > 0  # fixture actually exercises membership
