@@ -200,3 +200,60 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "q_window_rolling_days",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               epoch_ns(ts) // {_NS_PER_DAY} AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS day_value
+        FROM events
+        GROUP BY user_id, epoch_ns(ts) // {_NS_PER_DAY}
+    )
+    SELECT user_id, day, n_events, day_value,
+           CAST(SUM(n_events) OVER (
+               PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS events_3d,
+           CAST(SUM(CAST(day_value AS DECIMAL(38,2))) OVER (
+               PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_3d
+    FROM daily
+    """,
+    doc="Event-time rolling aggregate (the trailing-N-days metric): daily "
+    "per-user rollup first (map-side combined — the window then runs over "
+    "|user x day| rows, never raw events), then a RANGE frame over the "
+    "integer day key so GAPS in activity are handled correctly — a ROWS "
+    "frame would silently span missing days. Rolling sums accumulate "
+    "decimal-exact inside the frame, so parallel evaluation matches the "
+    "oracle bit-for-bit. One shuffle for the rollup, one for the window, "
+    "both keyed on user_id.",
+    tags=("events", "window"),
+)
+def q_window_rolling_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_gcp_spark.functions.exact import dec, exact_sum
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.expr(f"ts div {_NS_PER_DAY}").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", 2).alias("day_value"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("day").rangeBetween(-2, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        "day_value",
+        F.sum("n_events").over(w).alias("events_3d"),
+        F.sum(dec(F.col("day_value"), 2)).over(w).cast("double").alias("value_3d"),
+    )
