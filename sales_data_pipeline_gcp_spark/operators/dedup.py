@@ -378,33 +378,81 @@ def verify_jaccard(cand: DataFrame, shs: DataFrame) -> DataFrame:
     )
 
 
-def drop_stop_shingles(shs: DataFrame, max_df: int) -> DataFrame:
-    """Remove shingles occurring in more than ``max_df`` documents before
+#: hot-set cardinality above which the broadcast ``array_except`` path
+#: gives way to the exploded ``left_anti`` path: a broadcast hot-set is one
+#: task's memory, and ~100k shingles x ~40 bytes ≈ 4 MB is a conservative
+#: ceiling well under any executor's broadcast budget.
+STOP_SHINGLE_BROADCAST_BUDGET = 100_000
+
+
+def drop_stop_shingles(
+    shs: DataFrame,
+    max_df: int | None = None,
+    *,
+    max_df_frac: float | None = None,
+    broadcast_budget: int = STOP_SHINGLE_BROADCAST_BUDGET,
+) -> DataFrame:
+    """Remove shingles occurring in more documents than a threshold before
     hashing — the stop-shingle drop (module docstring): boilerplate
     shingles shared by a large corpus fraction put a quadratic number of
     pairs into one LSH band bucket and dominate every band, which is THE
     skew hazard of shingle pipelines at 100 TB (same idea as stopword
     removal; AQE skew-join only mitigates moderate skew).
 
-    The hot set is tiny by construction (few shingles can exceed a
-    corpus-fraction threshold), so it folds to a single array broadcast to
-    every task and removal is an in-row ``array_except`` — no extra
-    shuffle of the corpus."""
-    hot = (
+    Threshold semantics (round-4 ADVICE fix): ``max_df`` is an ABSOLUTE
+    document count. Under Zipfian shingle distributions the ``df > k`` set
+    grows roughly linearly with corpus size, so an absolute count is a
+    small-corpus convenience, not the scale policy — pass ``max_df_frac``
+    instead to set the threshold to ``ceil(frac * |docs|)`` (|docs| comes
+    from a broadcast single-row count, computed relationally), which keeps
+    the hot set genuinely small by construction at any corpus size.
+
+    The removal path adapts to the hot set's cardinality — decided by one
+    ``count()`` over the already-aggregated (and checkpointed) hot-shingle
+    relation, a runtime-statistics scheduling decision in the AQE mold,
+    not a data-path collect:
+
+    - ``<= broadcast_budget``: fold the hot set to ONE array broadcast to
+      every task; removal is an in-row ``array_except`` — zero extra
+      corpus shuffles.
+    - ``> broadcast_budget``: explode the arrays, ``left_anti`` join
+      against the hot relation (a shuffle join that scales with hot-set
+      size instead of concentrating it in a single task's memory), and
+      re-aggregate per doc. Two corpus shuffles, correct at any size.
+
+    Both paths are equivalence-tested (tests/test_dedup_property.py); docs
+    whose every shingle is hot are dropped by both."""
+    if (max_df is None) == (max_df_frac is None):
+        raise ValueError("pass exactly one of max_df / max_df_frac")
+    counts = (
         shs.select(F.explode("shs").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .agg(F.collect_set("shingle").alias("__hot"))
     )
-    return (
-        shs.join(F.broadcast(hot))
-        .select(
-            "doc_id",
-            F.array_except("shs", F.coalesce("__hot", F.array())).alias("shs"),
+    if max_df is not None:
+        hot_rel = counts.filter(F.col("df") > max_df)
+    else:
+        n_docs = shs.agg(F.count("*").alias("__n"))
+        hot_rel = (
+            counts.join(F.broadcast(n_docs))
+            .filter(F.col("df") > F.ceil(F.lit(max_df_frac) * F.col("__n")))
         )
-        .filter(F.size("shs") > 0)
+    hot_rel = materialize(hot_rel.select("shingle"))
+    if hot_rel.count() <= broadcast_budget:
+        hot = hot_rel.agg(F.collect_set("shingle").alias("__hot"))
+        return (
+            shs.join(F.broadcast(hot))
+            .select(
+                "doc_id",
+                F.array_except("shs", F.coalesce("__hot", F.array())).alias("shs"),
+            )
+            .filter(F.size("shs") > 0)
+        )
+    kept = (
+        shs.select("doc_id", F.explode("shs").alias("shingle"))
+        .join(hot_rel, "shingle", "left_anti")
     )
+    return kept.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
 
 
 def neardup_pairs(docs: DataFrame, *, stop_shingle_df: int | None = None) -> DataFrame:

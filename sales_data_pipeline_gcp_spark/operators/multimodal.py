@@ -107,16 +107,33 @@ def decode_header(payload: bytes) -> tuple[str, int, int]:
         w, h = struct.unpack(">II", payload[16:24])
         return "png", w, h
     if payload[:2] == b"\xff\xd8":
+        # Marker walk per the public JFIF layout. Two cases have NO length
+        # field and would desync a naive `i += 2 + seg_len` walk (round-4
+        # ADVICE): (a) 0xFF fill bytes are legal padding before any marker;
+        # (b) standalone markers — TEM 0x01, RST0-7 0xD0-0xD7, SOI 0xD8,
+        # EOI 0xD9 — are exactly one marker wide.
         i = 2
-        while i + 4 <= len(payload):
+        while i + 2 <= len(payload):
             if payload[i] != 0xFF:
                 raise ValueError("JPEG marker desync")
-            marker = payload[i + 1]
-            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            j = i + 1
+            while j < len(payload) and payload[j] == 0xFF:
+                j += 1  # skip fill bytes (a run of 0xFF pads the marker)
+            if j >= len(payload):
+                break
+            marker = payload[j]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i = j + 1
+                continue
+            if marker == 0xD9:  # EOI with no SOF seen
+                break
+            if j + 3 > len(payload):
+                break
+            seg_len = struct.unpack(">H", payload[j + 1 : j + 3])[0]
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                h, w = struct.unpack(">HH", payload[j + 4 : j + 8])
                 return "jpeg", w, h
-            i += 2 + seg_len
+            i = j + 1 + seg_len
         raise ValueError("JPEG without SOF segment")
     if payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8X":
         w = int.from_bytes(payload[24:27], "little") + 1

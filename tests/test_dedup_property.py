@@ -184,6 +184,46 @@ def test_stop_shingle_drop_bounds_candidate_blowup(spark):
     assert sparse == 0
 
 
+def test_drop_stop_shingles_left_anti_path_equivalent(spark):
+    """``broadcast_budget=0`` forces the exploded left_anti fallback (the
+    path taken when the hot set outgrows a single task's broadcast
+    memory); it must keep exactly the same per-doc shingle SETS as the
+    broadcast array_except path."""
+    df = spark.createDataFrame(_stop_corpus(), "doc_id long, text string")
+    shs = materialize(shingle_arrays(df))
+    via_broadcast = {
+        r.doc_id: set(r.shs) for r in drop_stop_shingles(shs, 5).collect()
+    }
+    via_anti = {
+        r.doc_id: set(r.shs)
+        for r in drop_stop_shingles(shs, 5, broadcast_budget=0).collect()
+    }
+    assert via_anti == via_broadcast
+
+
+def test_drop_stop_shingles_frac_threshold(spark):
+    """``max_df_frac`` scales the threshold with |docs| (the 100 TB
+    policy: an absolute count grows into a Zipf head at corpus scale).
+    With 40 docs and frac=0.3 the threshold is ceil(12) — the boilerplate
+    shingles (df=20) drop, everything else stays."""
+    df = spark.createDataFrame(_stop_corpus(), "doc_id long, text string")
+    shs = materialize(shingle_arrays(df))
+    by_frac = {
+        r.doc_id: set(r.shs)
+        for r in drop_stop_shingles(shs, max_df_frac=0.3).collect()
+    }
+    by_abs = {
+        r.doc_id: set(r.shs) for r in drop_stop_shingles(shs, 12).collect()
+    }
+    assert by_frac == by_abs
+    import pytest
+
+    with pytest.raises(ValueError):
+        drop_stop_shingles(shs)  # neither threshold
+    with pytest.raises(ValueError):
+        drop_stop_shingles(shs, 5, max_df_frac=0.1)  # both
+
+
 # --- content-defined chunking: insertion invariance ------------------------
 
 from sales_data_pipeline_gcp_spark.operators.dedup import cdc_chunks

@@ -61,6 +61,25 @@ def test_decode_header_rejects_unknown_container():
         decode_header(b"\x00" * 16)
 
 
+def test_decode_header_jpeg_standalone_markers_and_fill_bytes():
+    """Real-world JPEGs may pad markers with 0xFF fill bytes and emit
+    length-less standalone markers (TEM 0x01, RST0-7) before SOF — none of
+    which carry a seg_len (round-4 ADVICE). The walk must skip them
+    instead of reading garbage lengths."""
+    import struct
+
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 1) + b"\x01\x11\x00"
+    # SOI, fill bytes, TEM, RST0, RST7, more fill, then SOF0
+    payload = b"\xff\xd8" + b"\xff\xff" + b"\xff\x01" + b"\xff\xd0" + b"\xff\xd7" + b"\xff\xff\xff" + sof0
+    assert decode_header(payload) == ("jpeg", 640, 480)
+
+
+def test_decode_header_jpeg_eoi_without_sof_rejected():
+    payload = b"\xff\xd8" + b"\xff\xd9"  # SOI then EOI, no SOF
+    with pytest.raises(ValueError):
+        decode_header(payload)
+
+
 def test_decode_headers_spark_round_trip(spark, sf_dir):
     rows = decode_headers(image_table(spark, sf_dir)).filter("doc_id < 60").collect()
     assert len(rows) == 60
