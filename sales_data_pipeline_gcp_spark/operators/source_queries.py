@@ -148,6 +148,169 @@ def q_scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_sales(read_sales_csv(spark, CSV_PATH), audit=False)
 
 
+# ---------------------------------------------------------------------------
+# partition-pruned scans (round 5)
+# ---------------------------------------------------------------------------
+
+#: Hive-partitioned parquet fixture: the seeded sales rows laid out as
+#: ``sales_by_month/sale_month=M/part-0.parquet``. Written with pyarrow at
+#: import time (the oracle may run before any SparkSession exists), one
+#: file per partition, fully deterministic. The ENGINE's partitioned sink
+#: (io.write_append(partition_by=...)) produces the same layout — proven
+#: equivalent in tests/test_sources.py::test_write_append_partitioned_layout.
+PART_DIR = os.path.join(FIXTURE_DIR, "sales_by_month")
+PART_ROWS = 2000
+PART_SEED = 33
+PRUNE_MONTHS = (3, 4)
+
+
+def _partition_files() -> dict[int, bytes]:
+    """month -> deterministic parquet bytes for that partition's rows."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sales_data_pipeline_gcp_spark.sources.sales import generate_rows
+
+    by_month: dict[int, list[dict]] = {}
+    for r in generate_rows(PART_ROWS, seed=PART_SEED):
+        by_month.setdefault(r["ordered_at"].month, []).append(r)
+    out: dict[int, bytes] = {}
+    for m, rs in sorted(by_month.items()):
+        table = pa.table(
+            {
+                "product": pa.array([r["product"] for r in rs], pa.string()),
+                "price": pa.array([r["price"] for r in rs], pa.float64()),
+                "quantity": pa.array([r["quantity"] for r in rs], pa.int32()),
+                "total": pa.array([r["total"] for r in rs], pa.float64()),
+                "ordered_date": pa.array(
+                    [r["ordered_at"].date() for r in rs], pa.date32()
+                ),
+            }
+        )
+        buf = _io.BytesIO()
+        pq.write_table(table, buf)
+        out[m] = buf.getvalue()
+    return out
+
+
+def ensure_partitioned_fixture() -> None:
+    """Materialize the hive-partitioned fixture (idempotent, atomic)."""
+    os.makedirs(FIXTURE_DIR, mode=0o700, exist_ok=True)
+    for m, content in _partition_files().items():
+        d = os.path.join(PART_DIR, f"sale_month={m}")
+        os.makedirs(d, exist_ok=True)
+        _install(os.path.join(d, "part-0.parquet"), content)
+
+
+ensure_partitioned_fixture()
+
+_PART_GLOB = f"{PART_DIR}/*/*.parquet"
+
+
+@register(
+    "q_scan_pruned",
+    oracle=f"""
+    SELECT CAST(sale_month AS INTEGER) AS sale_month,
+           product,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(total AS DECIMAL(38,2))) AS DOUBLE) AS sum_total
+    FROM read_parquet('{_PART_GLOB}', hive_partitioning = true)
+    WHERE CAST(sale_month AS INTEGER) IN {PRUNE_MONTHS}
+      AND total IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Partition-PRUNED scan over a hive-partitioned table "
+    "(sale_month=M/ directories): the predicate on the partition column "
+    "is resolved against directory names at PLANNING time, so only the "
+    f"{len(PRUNE_MONTHS)} matching partitions are ever listed or read — "
+    "at 100 TB this is the first scale lever a user pulls (scan cost "
+    "proportional to data matched, not data stored). The plan assertion "
+    "(tests/test_plans.py) pins PartitionFilters non-empty on the scan "
+    "node, and tests/test_sources.py proves via input_file_name() that "
+    "only matching partition directories are touched. Data-layer analog "
+    "of the reference's control-plane routing filter "
+    "(scripts/main.py:21-23). Oracled via DuckDB's hive_partitioning "
+    "read of the same directory tree.",
+    tags=("source", "layout"),
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ensure_partitioned_fixture()
+    df = spark.read.parquet(PART_DIR)
+    return (
+        df.filter(F.col("sale_month").cast("int").isin(*PRUNE_MONTHS))
+        .filter(F.col("total").isNotNull())
+        .groupBy(
+            F.col("sale_month").cast("int").alias("sale_month"), "product"
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("total").cast("decimal(38,2)")).cast("double").alias("sum_total"),
+        )
+    )
+
+
+#: month -> fiscal quarter dim for the dynamic-pruning demo. The filter
+#: lands on ``quarter`` — a column the FACT does not have, so static
+#: pruning can't apply and only a runtime filter derived from the joined
+#: dim rows can prune fact partitions.
+_QUARTER = "Q2"
+_DIM_MONTHS = tuple((m, f"Q{(m - 1) // 3 + 1}") for m in range(1, 13))
+_DIM_SQL = ", ".join(f"({m}, '{q}')" for m, q in _DIM_MONTHS)
+
+
+@register(
+    "q_join_dpp",
+    oracle=f"""
+    WITH dim(month, quarter) AS (VALUES {_DIM_SQL}),
+    fact AS (
+        SELECT CAST(sale_month AS INTEGER) AS sale_month, total
+        FROM read_parquet('{_PART_GLOB}', hive_partitioning = true)
+    )
+    SELECT f.sale_month,
+           d.quarter,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(f.total AS DECIMAL(38,2))) AS DOUBLE) AS sum_total
+    FROM fact f
+    JOIN dim d ON f.sale_month = d.month
+    WHERE d.quarter = '{_QUARTER}'
+    GROUP BY 1, 2
+    """,
+    doc="DYNAMIC partition pruning: the selective filter sits on the dim "
+    "side (quarter, a column the partitioned fact lacks), so the planner "
+    "cannot prune statically — instead Catalyst injects a "
+    "DynamicPruningExpression into the fact scan's PartitionFilters, "
+    "fed by the broadcast dim's join keys at RUNTIME (plan assertion in "
+    "tests/test_plans.py). At 100 TB this is how a 'revenue for fiscal "
+    "Q2' query over a date-partitioned fact reads 3 months instead of "
+    "the full table. Complements q_scan_pruned (static) and "
+    "q_bloom_prefilter (row-level runtime filter).",
+    tags=("source", "layout"),
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ensure_partitioned_fixture()
+    fact = spark.read.parquet(PART_DIR).select(
+        F.col("sale_month").cast("int").alias("sale_month"), "total"
+    )
+    dim = spark.createDataFrame(list(_DIM_MONTHS), "month int, quarter string")
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("quarter") == _QUARTER)),
+            fact.sale_month == F.col("month"),
+        )
+        .groupBy("sale_month", "quarter")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("total").cast("decimal(38,2)")).cast("double").alias("sum_total"),
+        )
+    )
+
+
 @register(
     "q_scan_json",
     oracle=f"""

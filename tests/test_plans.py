@@ -139,6 +139,43 @@ def test_sql_surface_gets_same_plan_treatment(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
 
 
+def test_scan_pruned_partition_filters(spark, sf_dir):
+    """The partition predicate must be a PLANNING-time PartitionFilter on
+    the scan node (directory pruning), never a post-scan data filter."""
+    plan = plan_str(QS["q_scan_pruned"].fn(spark, sf_dir))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "sale_month" in pf[0] and "IN (3,4)" in pf[0], pf
+
+
+def test_scan_pruned_reads_only_matching_partitions(spark, sf_dir):
+    """Physical proof of pruning: the files actually opened by the
+    filtered scan all live under the matching partition directories."""
+    from sales_data_pipeline_gcp_spark.operators.source_queries import (
+        PART_DIR,
+        PRUNE_MONTHS,
+        ensure_partitioned_fixture,
+    )
+
+    ensure_partitioned_fixture()
+    df = spark.read.parquet(PART_DIR).filter(
+        F.col("sale_month").cast("int").isin(*PRUNE_MONTHS)
+    )
+    files = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    assert files, "scan read no files"
+    allowed = tuple(f"sale_month={m}/" for m in PRUNE_MONTHS)
+    for f in files:
+        assert any(a in f for a in allowed), f
+
+
+def test_join_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """The dim-side quarter filter cannot prune statically; Catalyst must
+    inject a DynamicPruningExpression into the fact scan's
+    PartitionFilters (runtime pruning fed by the broadcast dim)."""
+    plan = plan_str(QS["q_join_dpp"].fn(spark, sf_dir))
+    assert "dynamicpruningexpression" in plan.lower(), "no runtime partition filter injected"
+    assert "BroadcastHashJoin" in plan
+
+
 def test_minhash_signature_single_shuffle(spark, sf_dir):
     """The signature stage's claim (dedup.minhash_signatures): base hashes
     are computed map-side and all k mins fold in ONE partially-aggregated

@@ -50,6 +50,45 @@ def test_partitioned_append_sink(spark, tmp_path):
     assert "PartitionFilters" in plan and "product" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_write_append_partitioned_layout(spark, tmp_path):
+    """The engine's partitioned sink produces the same hive layout (and
+    content) as the pyarrow-written pruning fixture: writing the fixture's
+    rows via write_append(partition_by=['sale_month']) and reading both
+    back yields identical relations, and the sink's directories follow the
+    sale_month=M naming that partition discovery and DuckDB's
+    hive_partitioning both understand."""
+    from sales_data_pipeline_gcp_spark.operators.source_queries import (
+        PART_DIR,
+        PART_ROWS,
+        PART_SEED,
+        ensure_partitioned_fixture,
+    )
+
+    ensure_partitioned_fixture()
+    fixture = spark.read.parquet(PART_DIR)
+
+    rows = generate_rows(PART_ROWS, seed=PART_SEED)
+    df = as_dataframe(spark, rows).select(
+        "product",
+        "price",
+        "quantity",
+        "total",
+        F.to_date("ordered_at").alias("ordered_date"),
+        F.month("ordered_at").alias("sale_month"),
+    )
+    out = str(tmp_path / "sink")
+    write_append(df, out, partition_by=["sale_month"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("sale_month=")
+    ) == sorted(d for d in os.listdir(PART_DIR) if d.startswith("sale_month="))
+
+    back = spark.read.parquet(out)
+    key = lambda r: repr(
+        (r.product, r.price, r.quantity, r.total, r.ordered_date, int(r.sale_month))
+    )
+    assert sorted(map(key, back.collect())) == sorted(map(key, fixture.collect()))
+
+
 def test_compaction(spark, tmp_path):
     from sales_data_pipeline_gcp_spark.io import compact
 
