@@ -170,6 +170,154 @@ def write_zordered(
 
 
 # ---------------------------------------------------------------------------
+# Z-order read-side payoff (round 5): measured pruning, not asserted
+# ---------------------------------------------------------------------------
+
+#: simulated file count for the layout comparison; the band predicate
+#: covers ~10% of each dimension's domain.
+_N_FILES = 64
+
+
+def _band_sql() -> str:
+    """Shared band bounds (integer arithmetic, engine-exact): supp band =
+    [40%, 50%] of the suppkey domain, part band = [40%, 50%] of partkey."""
+    return """
+    bands AS (
+        SELECT mn_b + ((mx_b - mn_b) * 2) {div} 5 AS supp_lo,
+               mn_b + (mx_b - mn_b) {div} 2       AS supp_hi,
+               mn_a + ((mx_a - mn_a) * 2) {div} 5 AS part_lo,
+               mn_a + (mx_a - mn_a) {div} 2       AS part_hi
+        FROM stats
+    )"""
+
+
+@register(
+    "q_zorder_pruning",
+    oracle=f"""
+    WITH li AS (SELECT l_partkey, l_suppkey FROM lineitem),
+    stats AS (
+        SELECT MIN(l_partkey) AS mn_a, MAX(l_partkey) AS mx_a,
+               MIN(l_suppkey) AS mn_b, MAX(l_suppkey) AS mx_b
+        FROM li
+    ),
+    keyed AS (
+        SELECT {sql_zorder_key(_SCALE_A.format(div='//'), _SCALE_B.format(div='//'))} AS z,
+               l_partkey, l_suppkey
+        FROM li, stats
+    ),
+    assigned AS (
+        SELECT l_partkey, l_suppkey,
+               NTILE({_N_FILES}) OVER (ORDER BY z, l_partkey, l_suppkey) AS zfile,
+               NTILE({_N_FILES}) OVER (ORDER BY l_partkey, l_suppkey)    AS sfile
+        FROM keyed
+    ),
+    files AS (
+        SELECT 'zorder' AS layout, zfile AS f,
+               MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+               MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+        FROM assigned GROUP BY zfile
+        UNION ALL
+        SELECT 'single_sort' AS layout, sfile AS f,
+               MIN(l_partkey), MAX(l_partkey), MIN(l_suppkey), MAX(l_suppkey)
+        FROM assigned GROUP BY sfile
+    ),
+    {_band_sql().format(div='//').strip()}
+    SELECT layout,
+           COUNT(*) AS n_files,
+           COUNT(CASE WHEN max_supp >= supp_lo AND min_supp <= supp_hi THEN 1 END)
+               AS files_scanned_supp,
+           COUNT(CASE WHEN max_part >= part_lo AND min_part <= part_hi THEN 1 END)
+               AS files_scanned_part
+    FROM files, bands
+    GROUP BY layout
+    """,
+    doc="Z-order READ-SIDE payoff, measured: rows are assigned to "
+    f"{_N_FILES} simulated files two ways — ntile over the Morton key vs "
+    "ntile over a single-column sort — then per-file min/max footers are "
+    "computed for BOTH dimensions and a ~10%-of-domain band predicate "
+    "counts how many files each layout must scan. The single-column sort "
+    "prunes perfectly on its sort key and almost not at all on the other "
+    "dimension; the z-layout prunes meaningfully on BOTH — the measured "
+    "claim behind write_zordered (whose physical parquet footers are "
+    "asserted the same way in tests/test_layout.py). The ntile window is "
+    "a single-partition diagnostic: the operational rewrite uses "
+    "repartitionByRange, never a global window, at scale. Deterministic "
+    "cross-engine: ntile ties are broken by the full value tuple, so "
+    "per-file min/max depend only on the sorted multiset.",
+    tags=("layout",),
+)
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("mn_a"),
+        F.max("l_partkey").alias("mx_a"),
+        F.min("l_suppkey").alias("mn_b"),
+        F.max("l_suppkey").alias("mx_b"),
+    )
+    keyed = li.crossJoin(F.broadcast(stats)).select(
+        zorder_key(
+            F.expr(_SCALE_A.format(div="div")), F.expr(_SCALE_B.format(div="div"))
+        ).alias("z"),
+        "l_partkey",
+        "l_suppkey",
+        "mn_a",
+        "mx_a",
+        "mn_b",
+        "mx_b",
+    )
+    assigned = keyed.select(
+        "l_partkey",
+        "l_suppkey",
+        F.ntile(_N_FILES)
+        .over(Window.orderBy("z", "l_partkey", "l_suppkey"))
+        .alias("zfile"),
+        F.ntile(_N_FILES)
+        .over(Window.orderBy("l_partkey", "l_suppkey"))
+        .alias("sfile"),
+    )
+
+    def footers(file_col: str, layout: str) -> DataFrame:
+        return assigned.groupBy(file_col).agg(
+            F.lit(layout).alias("layout"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        ).drop(file_col)
+
+    files = footers("zfile", "zorder").unionByName(footers("sfile", "single_sort"))
+    bands = stats.selectExpr(
+        "mn_b + ((mx_b - mn_b) * 2) div 5 AS supp_lo",
+        "mn_b + (mx_b - mn_b) div 2       AS supp_hi",
+        "mn_a + ((mx_a - mn_a) * 2) div 5 AS part_lo",
+        "mn_a + (mx_a - mn_a) div 2       AS part_hi",
+    )
+    return (
+        files.crossJoin(F.broadcast(bands))
+        .groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.count(
+                F.when(
+                    (F.col("max_supp") >= F.col("supp_lo"))
+                    & (F.col("min_supp") <= F.col("supp_hi")),
+                    1,
+                )
+            ).alias("files_scanned_supp"),
+            F.count(
+                F.when(
+                    (F.col("max_part") >= F.col("part_lo"))
+                    & (F.col("min_part") <= F.col("part_hi")),
+                    1,
+                )
+            ).alias("files_scanned_part"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter prefilter (runtime-filter shape)
 # ---------------------------------------------------------------------------
 

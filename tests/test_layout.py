@@ -73,6 +73,73 @@ def test_zordered_write_tightens_footers_on_both_dims(spark, sf_smoke_dir, tmp_p
         assert z_span < 0.6 * plain_span, (col, z_span, plain_span)
 
 
+def _files_overlapping(path: str, column: str, lo: int, hi: int) -> tuple[int, int]:
+    """(n_files, n_files whose footer [min,max] overlaps [lo,hi])."""
+    n, hit = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    st = col.statistics
+                    fmin = st.min if fmin is None else min(fmin, st.min)
+                    fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None:
+            continue
+        n += 1
+        if fmax >= lo and fmin <= hi:
+            hit += 1
+    assert n, f"no parquet stats under {path}"
+    return n, hit
+
+
+def test_zorder_pruning_payoff_simulated(spark, sf_dir):
+    """The declared q_zorder_pruning query's own numbers must show the
+    payoff: the z-layout scans fewer files than the single-column sort on
+    the NON-sorted dimension, and strictly fewer than all files on both."""
+    from sales_data_pipeline_gcp_spark.plans import registry
+
+    rows = {
+        r.layout: r
+        for r in registry.all_queries()["q_zorder_pruning"].fn(spark, sf_dir).collect()
+    }
+    z, s = rows["zorder"], rows["single_sort"]
+    assert z.n_files == s.n_files
+    # single sort on partkey: near-perfect partkey pruning, ~no suppkey pruning
+    assert s.files_scanned_supp > 0.8 * s.n_files
+    # z-order: meaningful pruning on BOTH dimensions
+    assert z.files_scanned_supp < 0.6 * s.files_scanned_supp
+    assert z.files_scanned_part < 0.6 * z.n_files
+
+
+def test_zordered_write_prunes_physical_footers(spark, sf_smoke_dir, tmp_path):
+    """Physical counterpart of q_zorder_pruning: after a real parquet
+    rewrite, a band predicate on the second dimension overlaps FEWER
+    z-ordered files' footers than single-sorted files' footers — the
+    row-group pruning a scan would actually get."""
+    li = load(spark, sf_smoke_dir, "lineitem").select("l_partkey", "l_suppkey")
+    single = str(tmp_path / "single")
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(single)
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(li, ("l_partkey", "l_suppkey"), zpath, n_files=16)
+
+    stats = li.agg(
+        F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx")
+    ).collect()[0]
+    lo = stats.mn + (stats.mx - stats.mn) * 2 // 5
+    hi = stats.mn + (stats.mx - stats.mn) // 2
+    n_s, hit_s = _files_overlapping(single, "l_suppkey", lo, hi)
+    n_z, hit_z = _files_overlapping(zpath, "l_suppkey", lo, hi)
+    assert hit_s > 0.8 * n_s, (hit_s, n_s)  # single sort can't prune dim 2
+    assert hit_z < 0.7 * hit_s, (hit_z, hit_s)  # z-order can
+
+
 def test_bloom_prefilter_never_false_negative(spark, sf_dir):
     """The property that makes a Bloom prefilter SAFE to apply before a
     join: every true member must survive the bitmap test (false positives
