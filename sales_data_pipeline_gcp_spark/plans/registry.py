@@ -96,75 +96,77 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- round-4 rotation. Context: the driver REGENERATED the fixture
-    # parquet this round (events.ts switched to TIMESTAMP micros), so all
-    # 122 prior green rows were adjudicated on different bytes; the window
-    # prioritizes (a) never-adjudicated queries, (b) the dedup pipelines
-    # whose plans were restructured this round, (c) the event family whose
-    # LOADER changed (tz-free ns normalization in io.load), then (d) the
-    # queries whose latest green is oldest (round 1).
-    # (a) never driver-adjudicated — new this round:
-    "q_sql_revenue_by_nation",      # spark.sql-surface trio
-    "q_sql_segment_leaders",
-    "q_sql_doc_source_profile",
-    "q_tpch_q2_min_cost_supplier",  # TPC-H deck completion
-    "q_tpch_q6_forecast",
-    "q_tpch_q9_product_profit",
-    "q_tpch_q12_priority_class",
-    "q_tpch_q20_promotion_suppliers",
-    "q_dedup_minhash_stopshingle",  # stop-shingle drop variant
-    "q_multimodal_decode",          # real PNG/JPEG/WebP header codec
-    "q_dedup_incremental",          # batch-vs-frozen-corpus dedup
-    "q_text_familiarity",           # df-mass lexical quality score
-    "q_dedup_cdc_chunks",           # content-defined chunking dedup
-    "q_sql_top_orders_per_segment", # SQL surface: window functions
-    "q_agg_listagg",                # deterministic string_agg
-    "q_agg_mode",                   # most-frequent-value w/ tiebreak
-    "q_window_share",               # percent-of-total window
-    "q_events_retention",           # cohort retention matrix
-    # (b) plan-restructured this round (array-intersect verify, shared
-    # neardup_pairs, large-star/small-star components):
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_corpus_prepare",
-    # (c) event-time family — io.load's ts normalization changed for the
-    # new fixture layout; re-confirm every consumer:
-    "q_join_asof",
-    "q_join_asof_fwd",
-    "q_stream_sliding",
-    "q_stream_session",
+    # ---- round-5 rotation. Round 4's window went 49/49 green (50th is
+    # the rows-only streaming query), so this rotation is pure freshness:
+    # (a) every query that has NEVER carried a driver-adjudicated row —
+    # the five round-4 late additions plus the three new round-5 layout/
+    # pruning queries; (b) the eight queries whose latest green is round 1
+    # (the oldest evidence in the repo); (c) the three queries whose
+    # implementation was touched this round (stop-shingle drop paths, the
+    # JPEG marker-walk fix, the stream-ingest evidence columns); (d) 31 of
+    # the 37 round-2-latest queries. Left out of (d) on purpose:
+    # q_agg_approx / q_sample_stratified are inherently rows-only (a
+    # window slot buys them no stronger evidence — their hard checks live
+    # in tests/test_approx.py and the oracled bounds twin), and
+    # q_math_scalars / q_array_scalars / q_map_functions / q_sample_hash
+    # are single-stage scalar/sampling shapes with plan tests and strict
+    # local parity. Everything outside the window keeps sf0.01 oracle
+    # parity cover via tests/test_parity.py; the 45 round-3-latest
+    # queries are the natural round-6 rotation.
+    # (a) never driver-adjudicated:
+    "q_zorder_layout",
+    "q_bloom_prefilter",
+    "q_scd2_intervals",
+    "q_dq_profile",
+    "q_window_rolling_days",
+    "q_scan_pruned",        # new r5: static partition pruning
+    "q_join_dpp",           # new r5: dynamic partition pruning
+    "q_zorder_pruning",     # new r5: measured z-order read payoff
+    # (b) round-1-latest greens:
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_join_semi_anti",
+    "q_json_extract",
+    "q_set_union",
+    "q_text_termstats",
+    "q_text_tokens",
+    "q_window_lag",
+    # (c) implementation touched in round 5:
+    "q_dedup_minhash_stopshingle",
+    "q_multimodal_decode",
     "q_stream_ingest",
-    "q_rollup_hierarchy",
-    "q_funnel",
-    "q_event_rates",
-    "q_sessionize",
-    "q_outlier_zscore",
-    # (d) oldest greens (round 1) — the most complex representative per
-    # family (slots ceded to (a): q_agg_distinct/global, q_set_union,
-    # q_window_lag, q_join_semi_anti, q_json_extract stay local-parity
-    # covered and their families keep a window representative):
-    "q_agg_cube",
-    "q_case_impute",
-    "q_date_scalars",
-    "q_filter_nulls",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_range",
-    "q_join_star",
-    "q_project_cast",
-    "q_set_intersect_except",
-    "q_sim_topk",
-    "q_sort_multi",
-    # (two slots ceded to the (a)-group: q_text_tokens/q_text_termstats
-    # are the simplest members of the r1 text family and keep dtype-strict
-    # local-parity cover)
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_window_rank",
-    "q_window_topk_per_group",
+    # (d) round-2-latest greens:
+    "q_agg_filtered",
+    "q_agg_grouping_sets",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_array_predicates",
+    "q_grouped_trend",
+    "q_grouped_trend_sql",
+    "q_histogram",
+    "q_join_right",
+    "q_join_salted",
+    "q_knn_join",
+    "q_merge_upsert",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_null_safe_join",
+    "q_null_semantics",
+    "q_pivot",
+    "q_scan_csv_schema",
+    "q_scan_json",
+    "q_sketch_cms",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_tpch_q18_big_orders",
+    "q_tpch_q3_shipping",
+    "q_tpch_q7_volume",
+    "q_udf_vectorized",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_window_percentrank",
+    "q_window_range",
 )
 
 
