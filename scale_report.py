@@ -38,6 +38,12 @@ QUERIES = [
     "q_dedup_clusters",       # large-star/small-star contraction
     "q_dedup_minhash_stopshingle",  # hot-set broadcast + array_except
     "q_sql_revenue_by_nation",      # SQL-string surface, 4-way join
+    # round-5 additions: the ordered-set aggregate family (r4 VERDICT item
+    # 8 — bench rows existed but no scale ratios) and the new layout demo
+    "q_agg_listagg",          # deterministic string_agg
+    "q_agg_mode",             # most-frequent-value w/ tiebreak
+    "q_window_share",         # percent-of-total window
+    "q_zorder_pruning",       # layout simulation (global-window diagnostic)
 ]
 
 
