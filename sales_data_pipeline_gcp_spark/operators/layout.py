@@ -318,6 +318,81 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join (round 5): the pre-shuffled layout, declared
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Join over BUCKETED tables — the pre-shuffled layout that turns "
+    "every repeated join on the bucket key from a full shuffle into a "
+    "local zip: both sides are written bucketBy(custkey).sortBy(custkey), "
+    "so the SortMergeJoin consumes the on-disk bucketing with ZERO "
+    "exchanges below the join (plan assertion in tests/test_plans.py; "
+    "the only exchange in the whole plan is the final 5-row segment "
+    "aggregate). The merge hint replaces a session-conf broadcast "
+    "disable — hints are plan-local and leave the harness session "
+    "untouched. At 100 TB, bucketing the fact tables on their join key "
+    "is the difference between an every-query shuffle of the big table "
+    "and a one-time layout cost; the query rewrites the bucketed tables "
+    "from the fixture each run (deterministic), where production writes "
+    "once and reads many. Oracled against the plain join of the source "
+    "tables — bucketing must never change results, only the plan.",
+    tags=("layout", "join"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import shutil
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_ord, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    # the catalog is per-session but table dirs persist in the warehouse:
+    # drop both layers so a stale dir from another session never collides
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (t_ord, t_cust):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .write.bucketBy(_N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(t_ord)
+    )
+    (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(_N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable(t_cust)
+    )
+    o, c = spark.table(t_ord), spark.table(t_cust)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter prefilter (runtime-filter shape)
 # ---------------------------------------------------------------------------
 

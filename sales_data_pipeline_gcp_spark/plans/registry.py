@@ -108,9 +108,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_agg_approx / q_sample_stratified are inherently rows-only (a
     # window slot buys them no stronger evidence — their hard checks live
     # in tests/test_approx.py and the oracled bounds twin), and
-    # q_math_scalars / q_array_scalars / q_map_functions / q_sample_hash
-    # are single-stage scalar/sampling shapes with plan tests and strict
-    # local parity. Everything outside the window keeps sf0.01 oracle
+    # q_math_scalars / q_array_scalars / q_array_predicates /
+    # q_map_functions / q_sample_hash are single-stage scalar/sampling
+    # shapes with plan tests and strict local parity (one slot ceded to
+    # the new q_join_bucketed). Everything outside the window keeps sf0.01 oracle
     # parity cover via tests/test_parity.py; the 45 round-3-latest
     # queries are the natural round-6 rotation.
     # (a) never driver-adjudicated:
@@ -122,6 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_pruned",        # new r5: static partition pruning
     "q_join_dpp",           # new r5: dynamic partition pruning
     "q_zorder_pruning",     # new r5: measured z-order read payoff
+    "q_join_bucketed",      # new r5: exchange-free bucketed join
     # (b) round-1-latest greens:
     "q_agg_distinct",
     "q_agg_global",
@@ -140,7 +142,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_agg_grouping_sets",
     "q_agg_salted",
     "q_agg_stats",
-    "q_array_predicates",
     "q_grouped_trend",
     "q_grouped_trend_sql",
     "q_histogram",

@@ -176,6 +176,15 @@ def test_join_dpp_injects_runtime_partition_filter(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_zero_exchange_below_join(spark, sf_dir):
+    """q_join_bucketed's claim: the SortMergeJoin consumes the on-disk
+    bucketing directly — the ONLY exchange in the plan is the final
+    segment aggregate's, never a join-side shuffle."""
+    plan = plan_str(QS["q_join_bucketed"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
 def test_minhash_signature_single_shuffle(spark, sf_dir):
     """The signature stage's claim (dedup.minhash_signatures): base hashes
     are computed map-side and all k mins fold in ONE partially-aggregated
