@@ -23,7 +23,11 @@ record is split honestly:
   the tail: the total over ALL queries plus per-query medians for the
   SLOWEST queries (the cost leaders — exactly the rows truncation lost in
   round 3), with ``queries_omitted`` counting the fast ones cut;
-- ``BENCH_FULL.json`` (committed) gets every query's median;
+- ``BENCH_FULL.json`` (committed) gets every query's sweep median PLUS an
+  ``isolated`` column: the top cost leaders re-measured after the sweep
+  with full GC and a settle pause — mid-sweep medians absorb neighbor
+  GC/JIT pressure and can overstate a cost leader ~3x (round-4 VERDICT),
+  so the official record carries both numbers;
 - ``bench_runs.json`` (gitignored) gets the raw per-run samples.
 """
 
@@ -38,6 +42,8 @@ import sys
 import time
 
 RUNS_PER_QUERY = 3
+#: cost leaders re-measured in isolation after the sweep (see below).
+N_ISOLATED = 10
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -95,6 +101,30 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 4)
+
+    # Sweep-contention reconciliation (round-4 VERDICT item 3): a median
+    # taken mid-sweep absorbs neighbor GC/JIT pressure from 140+ adjacent
+    # queries and can overstate a cost leader by up to 3x. After the sweep,
+    # re-measure the N_ISOLATED slowest queries back-to-back-free: full GC,
+    # a settle pause, then median-of-3 each. BENCH_FULL.json records BOTH
+    # columns so the official record is self-consistent with any
+    # uncontended re-measure.
+    isolated: dict[str, float] = {}
+    leaders = sorted(timings, key=lambda n: (-timings[n], n))[:N_ISOLATED]
+    for name in leaders:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        q = all_q[name]
+        materialize(q.fn(spark, sf_dir))  # warm again post-sweep
+        samples = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, sf_dir))
+            samples.append(round(time.perf_counter() - t0, 4))
+        isolated[name] = round(statistics.median(samples), 4)
+        runs[name + "/isolated"] = samples
+
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_runs.json"), "w") as f:
         json.dump({"runs": runs, "sf": sf, "runs_per_query": RUNS_PER_QUERY}, f, indent=1, sort_keys=True)
@@ -105,6 +135,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "isolated": isolated,
+                "isolated_note": "cost leaders re-measured post-sweep after full GC + settle; 'queries' medians are taken mid-sweep and may carry neighbor GC/JIT contention",
                 "sf": sf,
                 "runs_per_query": RUNS_PER_QUERY,
             },
