@@ -257,3 +257,78 @@ def q_window_rolling_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).alias("events_3d"),
         F.sum(dec(F.col("day_value"), 2)).over(w).cast("double").alias("value_3d"),
     )
+
+
+@register(
+    "q_timeseries_gapfill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_ns(ts) // {_NS_PER_DAY} AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS day_mean
+        FROM events
+        GROUP BY event_type, epoch_ns(ts) // {_NS_PER_DAY}
+    ), bounds AS (
+        SELECT MIN(epoch_ns(ts) // {_NS_PER_DAY}) AS dmin,
+               MAX(epoch_ns(ts) // {_NS_PER_DAY}) AS dmax
+        FROM events
+    ), grid AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(dmin, dmax)) AS day FROM bounds
+        ) gs
+    )
+    SELECT g.event_type, g.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           d.day_mean,
+           LAST_VALUE(d.day_mean IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_mean
+    FROM grid g LEFT JOIN daily d
+      ON g.event_type = d.event_type AND g.day = d.day
+    """,
+    doc="Time-series resample + gap-fill: daily per-type rollup, a dense "
+    "calendar spine materialized IN-PLAN (global min/max day -> "
+    "sequence() -> explode, cross-joined with the distinct type list — "
+    "both sides are broadcast scalars/handfuls, never driver-side "
+    "collects), missing days zero-filled, and the last observed daily "
+    "mean carried forward with last_value(ignorenulls) — the standard "
+    "fill-forward for downstream charting/feature windows. The spine is "
+    "|days| x |types| rows regardless of event volume, so at 100 TB the "
+    "expensive side is still the one map-side-combined daily rollup; "
+    "the fill is one window over the tiny dense grid.",
+    tags=("events", "window"),
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    daily = (
+        ev.select("event_type", day.alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(dec(F.col("value"), 2)).cast("double") / F.count("*")).alias("day_mean"),
+        )
+    )
+    bounds = ev.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
+    days = bounds.select(F.explode(F.sequence("dmin", "dmax")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "day_mean",
+            F.last("day_mean", ignorenulls=True).over(w).alias("ffill_mean"),
+        )
+    )

@@ -368,3 +368,141 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         (F.sum(dec(F.col("val"), 8)).cast("double") / F.count("*")).alias("mean_val"),
     )
+
+
+# --- product quantization (PQ) with asymmetric distance computation -------
+
+#: PQ geometry: EMBED_DIM (64) = PQ_M subspaces x PQ_SUBDIM dims; one
+#: codebook of PQ_K entries per subspace, seeded from the first PQ_K
+#: vectors' sub-vectors (training-free deterministic, same convention as
+#: the IVF coarse cells / k-means seeds).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+PQ_TOPK = 10
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    """Fixed-order squared-L2 over two PQ_SUBDIM-dim lists (DuckDB)."""
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _spark_l2sq(a, b):
+    """Sequential squared-L2 — identical fold order to ``_sql_l2sq``."""
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_PQ_ORACLE = f"""
+    WITH ms AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    subs AS (
+        SELECT e.vec_id, ms.m,
+               e.embedding[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+        FROM embeddings e CROSS JOIN ms
+    ),
+    cb AS (SELECT vec_id AS k, m, sub FROM subs WHERE vec_id < {PQ_K}),
+    qsubs AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = {QUERY_VEC_ID}),
+    encoded AS (
+        SELECT vec_id, m, k, sub FROM (
+            SELECT s.vec_id, s.m, c.k, c.sub,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {_sql_l2sq('s.sub', 'c.sub')} ASC, c.k ASC) AS rn
+            FROM subs s JOIN cb c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT en.vec_id, en.m, en.k,
+               CAST({_sql_l2sq('q.qsub', 'en.sub')} AS DECIMAL(24,12)) AS qd
+        FROM encoded en JOIN qsubs q ON en.m = q.m
+    )
+    SELECT a.vec_id, e.label,
+           string_agg(CAST(a.k AS VARCHAR), ',' ORDER BY a.m) AS codes,
+           CAST(SUM(a.qd) AS DOUBLE) AS approx_l2
+    FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    GROUP BY a.vec_id, e.label
+    ORDER BY approx_l2 ASC, a.vec_id ASC
+    LIMIT {PQ_TOPK}
+    """
+
+
+@register(
+    "q_sim_pq_adc",
+    oracle=_PQ_ORACLE,
+    doc=f"Product-quantization ANN (Jegou et al. PQ, the IVF-PQ index "
+    f"shape minus the coarse level): the {EMBED_DIM}-dim embedding splits "
+    f"into {PQ_M} x {PQ_SUBDIM}-dim subspaces, each encoded as the argmin "
+    f"of squared-L2 against a {PQ_K}-entry codebook (seeded from the first "
+    f"{PQ_K} vectors — training-free deterministic, the q_kmeans_iter loop "
+    "is how you'd train them); query distance is asymmetric (ADC): the "
+    "sum over subspaces of dist(query sub-vector, assigned codebook "
+    "entry). Encoding is fully IN-ROW — codebooks collapse to one "
+    "broadcast array-of-structs row and each vector computes its "
+    f"{PQ_M} codes with nested higher-order functions, so the corpus is "
+    "never exploded or shuffled; at 100 TB vectors store as "
+    f"{PQ_M} bytes instead of {EMBED_DIM} floats (32x) and ADC scans "
+    "read codes only. Per-subspace distances quantize to DECIMAL(24,12) "
+    "before the cross-subspace sum, so the total is order-independent "
+    "and bit-identical to the oracle's explode+regroup equivalent.",
+    tags=("similarity", "embedding"),
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cb = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "embedding",
+        )
+        .select("k", "m", F.slice("embedding", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"))
+    )
+    cb_row = cb.agg(F.collect_list(F.struct("m", "k", "sub")).alias("cbs"))
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+
+    def per_subspace(m):
+        vsub = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM))
+        qsub = F.slice(F.col("qe"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM))
+        cands = F.filter(F.col("cbs"), lambda c: c["m"] == m)
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
+                _spark_l2sq(vsub, c["sub"]).alias("dist"),
+                c["k"].alias("k"),
+                c["sub"].alias("sub"),
+            ),
+        )
+        best = F.array_min(scored)  # (dist, k) min: nearest entry, ties -> lowest k
+        return F.struct(
+            best["k"].alias("code"),
+            # decimal(24,12): addition widens to (25,12) — never past 38, so
+            # the fold is EXACT (a (38,12) accumulator would overflow on add
+            # and silently shed scale digits)
+            _spark_l2sq(qsub, best["sub"]).cast("decimal(24,12)").alias("qd"),
+        )
+
+    per_m = F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), per_subspace)
+    approx = F.aggregate(
+        F.transform(per_m, lambda p: p["qd"]),
+        F.lit(0).cast("decimal(24,12)"),
+        lambda acc, x: (acc + x).cast("decimal(24,12)"),
+    ).cast("double")
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cb_row))  # single-row: replication factor 1
+        .crossJoin(F.broadcast(q_row))
+        .select(
+            "vec_id",
+            "label",
+            F.concat_ws(",", F.transform(per_m, lambda p: p["code"].cast("string"))).alias("codes"),
+            approx.alias("approx_l2"),
+        )
+        .orderBy(F.col("approx_l2").asc(), F.col("vec_id").asc())
+        .limit(PQ_TOPK)
+    )

@@ -246,3 +246,66 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
     ).orderBy("column_name")
+
+
+@register(
+    "q_ols_regression",
+    oracle="""
+    WITH sums AS (
+        SELECT p.p_brand,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l.l_quantity * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sx,
+               CAST(SUM(CAST((l.l_quantity * 100) * (l.l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxx,
+               CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sy,
+               CAST(SUM(CAST((l.l_extendedprice * 100) * (l.l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS syy,
+               CAST(SUM(CAST((l.l_quantity * 100) * (l.l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxy
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx)                       AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n     AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))                 AS r2
+    FROM sums
+    """,
+    doc="Per-group ordinary-least-squares fit (extendedprice ~ quantity "
+    "within part brand): closed-form slope/intercept/R^2 from the five "
+    "decimal-exact moment sums — the distributed regression shape. One "
+    "fact-dim join, then a |brands|-group aggregate with map-side partial "
+    "sums; the moments are the ONLY state, so at 100 TB this is a single "
+    "shuffle of 25 rows x 6 doubles per map task regardless of data "
+    "volume (the classic 'sufficient statistics beat row transfer' "
+    "pattern; built-in regr_slope-style streaming accumulation would be "
+    "merge-order-dependent, same motivation as q_agg_stats).",
+    tags=("agg", "stats"),
+)
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty_c = F.col("l_quantity") * 100
+    price_c = F.col("l_extendedprice") * 100
+    g = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(dec(qty_c, 0)).cast("double") / 1e2).alias("sx"),
+            (F.sum(dec(qty_c * qty_c, 0)).cast("double") / 1e4).alias("sxx"),
+            (F.sum(dec(price_c, 0)).cast("double") / 1e2).alias("sy"),
+            (F.sum(dec(price_c * price_c, 0)).cast("double") / 1e4).alias("syy"),
+            (F.sum(dec(qty_c * price_c, 0)).cast("double") / 1e4).alias("sxy"),
+        )
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return g.select(
+        "p_brand",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
