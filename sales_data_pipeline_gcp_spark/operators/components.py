@@ -219,3 +219,136 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = neardup_pairs(docs)
     comp = connected_components_star(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
     return comp.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+# --- PageRank (fixed-iteration, fully oracled) ----------------------------
+
+#: PageRank over the customer<->supplier trade graph: damping 0.85, a FIXED
+#: 3 iterations from the uniform vector — fixing the iteration count is what
+#: makes an iterative algorithm oracle-adjudicable (the DuckDB side unrolls
+#: the same three steps as CTEs; convergence-based stopping would couple
+#: the result to float tolerance). Supplier node ids offset by NODE_OFFSET
+#: to keep the two key spaces disjoint.
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+NODE_OFFSET = 1_000_000
+PR_TOPN = 20
+
+_PR_EDGES_SQL = f"""
+    pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT c AS src, s + {NODE_OFFSET} AS dst FROM pairs
+        UNION ALL
+        SELECT s + {NODE_OFFSET} AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)
+"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nn.n
+                 + CAST({PR_DAMPING} AS DOUBLE)
+                   * CAST(COALESCE(SUM(CAST(r.rank / d.deg AS DECIMAL(38,12))), 0) AS DOUBLE) AS rank
+        FROM nodes nd
+        CROSS JOIN nn
+        LEFT JOIN edges e ON e.dst = nd.node
+        LEFT JOIN {prev} r ON r.node = e.src
+        LEFT JOIN outdeg d ON d.src = e.src
+        GROUP BY nd.node, nn.n
+    )"""
+
+
+_PR_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + ","
+    + ",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERATIONS))
+    + f"""
+    SELECT node, node >= {NODE_OFFSET} AS is_supplier, rank AS pagerank
+    FROM r{PR_ITERATIONS}
+    ORDER BY pagerank DESC, node ASC
+    LIMIT {PR_TOPN}
+    """
+)
+
+
+@register(
+    "q_pagerank",
+    oracle=_PR_ORACLE,
+    doc=f"PageRank (damping {PR_DAMPING}, {PR_ITERATIONS} fixed iterations "
+    "from uniform) over the symmetric customer–supplier trade graph "
+    "(edge when a customer's order contains a supplier's line). Each "
+    "iteration is one node-keyed join (rank/outdeg weights), one edge-"
+    "keyed join, and one dst-grouped sum — per-node contributions "
+    "quantize to DECIMAL(38,12) so the neighbor sum is merge-order-"
+    "independent and every iteration's input is bit-identical cross-"
+    "engine (same exactness lever as q_kmeans_iter). The symmetric edge "
+    "construction guarantees no dangling nodes, so no rank mass "
+    "redistribution term is needed. At 100 TB: edges hash-partition by "
+    "src once and every iteration reuses that partitioning for the "
+    "weight join; the rank vector is |nodes|-sized (orders of magnitude "
+    "smaller than edges) and the per-iteration shuffle is the dst-keyed "
+    "contribution sum with map-side combine — the standard Pregel-class "
+    "cost, O(|edges|) per round with a fixed round count.",
+    tags=("graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.col("s") + NODE_OFFSET).alias("dst")
+    ).unionByName(
+        pairs.select((F.col("s") + NODE_OFFSET).alias("src"), F.col("c").alias("dst"))
+    )
+    edges = materialize(edges)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = edges.groupBy(F.col("src")).agg(F.count("*").alias("deg"))
+    nn_row = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn_row)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PR_ITERATIONS):
+        srcw = ranks.join(outdeg, ranks["node"] == outdeg["src"]).select(
+            F.col("src"), (F.col("rank") / F.col("deg")).alias("w")
+        )
+        contrib = (
+            edges.join(srcw, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.coalesce(F.sum(dec(F.col("w"), 12)), F.lit(0).cast("decimal(38,12)")).cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn_row))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0).cast("double"))
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select(
+            "node",
+            (F.col("node") >= NODE_OFFSET).alias("is_supplier"),
+            F.col("rank").alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), F.col("node").asc())
+        .limit(PR_TOPN)
+    )

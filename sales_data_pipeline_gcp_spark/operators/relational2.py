@@ -630,3 +630,97 @@ def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         nat.withColumn("revenue_share", F.col("revenue") / F.sum("revenue").over(W.partitionBy()))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
+
+
+# --- interval-overlap self-join via bucket binning -------------------------
+
+#: Synthetic validity interval per order: [orderdate, orderdate + orderkey%14
+#: days]. Bounded length is what makes binned overlap joins efficient.
+IVL_MAX_DAYS = 14
+IVL_BUCKET_DAYS = 7
+
+
+@register(
+    "q_join_interval",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_custkey AS cust, o_orderkey AS okey,
+               CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS start_day,
+               CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                 + o_orderkey % {IVL_MAX_DAYS} AS end_day
+        FROM orders
+    )
+    SELECT a.cust, a.okey AS okey_a, b.okey AS okey_b,
+           CAST(LEAST(a.end_day, b.end_day) - GREATEST(a.start_day, b.start_day) + 1 AS BIGINT)
+             AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.cust = b.cust AND a.okey < b.okey
+     AND a.start_day <= b.end_day AND b.start_day <= a.end_day
+    """,
+    doc="Interval-overlap self-join (the genomics/validity-window shape: "
+    "find same-customer order pairs whose date intervals intersect). The "
+    f"Spark plan BINS each interval to the {IVL_BUCKET_DAYS}-day buckets "
+    "it spans (explode of a <=3-element sequence, bounded because "
+    f"interval length is capped at {IVL_MAX_DAYS} days), equi-joins on "
+    "(customer, bucket), applies the exact overlap predicate, and "
+    "de-duplicates pairs that share several buckets — turning a per-key "
+    "theta join into an equi-join Catalyst can hash-partition, the "
+    "standard distributed interval-join strategy. At 100 TB the "
+    "replication factor is ceil(max_len/bucket)+1 per side (here <=3) "
+    "and skew follows the (customer, week) key, not the customer alone. "
+    "The oracle is the naive per-customer theta join — an independent "
+    "formulation of the same pair set.",
+    tags=("join",),
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    start = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        start.alias("start_day"),
+        (start + F.col("o_orderkey") % IVL_MAX_DAYS).alias("end_day"),
+    )
+    binned = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_day div {IVL_BUCKET_DAYS}"),
+                F.expr(f"end_day div {IVL_BUCKET_DAYS}"),
+            )
+        ),
+    )
+    a = binned.select(
+        F.col("cust"),
+        F.col("okey").alias("okey_a"),
+        F.col("start_day").alias("start_a"),
+        F.col("end_day").alias("end_a"),
+        "bucket",
+    )
+    b = binned.select(
+        F.col("cust").alias("cust_b"),
+        F.col("okey").alias("okey_b"),
+        F.col("start_day").alias("start_b"),
+        F.col("end_day").alias("end_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        a.join(b, (a["cust"] == b["cust_b"]) & (a["bucket"] == b["bucket_b"]))
+        .filter(
+            (F.col("okey_a") < F.col("okey_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .select("cust", "okey_a", "okey_b", "start_a", "end_a", "start_b", "end_b")
+        .distinct()  # a pair sharing several buckets joins several times
+    )
+    return pairs.select(
+        "cust",
+        "okey_a",
+        "okey_b",
+        (
+            F.least(F.col("end_a"), F.col("end_b"))
+            - F.greatest(F.col("start_a"), F.col("start_b"))
+            + F.lit(1)
+        ).cast("bigint").alias("overlap_days"),
+    )

@@ -339,3 +339,85 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_json(spark, JSON_PATH, schema)
+
+
+# --- ORC source ------------------------------------------------------------
+
+ORC_PATH = os.path.join(FIXTURE_DIR, "sales_scan_seed27.orc")
+ORC_TWIN_PATH = os.path.join(FIXTURE_DIR, "sales_scan_seed27_twin.parquet")
+ORC_ROWS = 300
+ORC_SEED = 27
+
+
+def _orc_fixture_bytes() -> tuple[bytes, bytes]:
+    """One pyarrow table serialized twice: once as ORC (read by Spark's
+    ORC source — the format under test) and once as parquet (read by the
+    DuckDB oracle, which has no ORC reader). Same in-memory table, so the
+    two files are logically identical by construction."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.orc as pa_orc
+    import pyarrow.parquet as pq
+
+    from sales_data_pipeline_gcp_spark.sources.sales import generate_rows
+
+    rs = list(generate_rows(ORC_ROWS, seed=ORC_SEED))
+    table = pa.table(
+        {
+            "product": pa.array([r["product"] for r in rs], pa.string()),
+            "price": pa.array([r["price"] for r in rs], pa.float64()),
+            "quantity": pa.array([r["quantity"] for r in rs], pa.int32()),
+            "total": pa.array([r["total"] for r in rs], pa.float64()),
+        }
+    )
+    ob, pb = _io.BytesIO(), _io.BytesIO()
+    pa_orc.write_table(table, ob)
+    pq.write_table(table, pb)
+    return ob.getvalue(), pb.getvalue()
+
+
+def ensure_orc_fixture() -> None:
+    os.makedirs(FIXTURE_DIR, mode=0o700, exist_ok=True)
+    orc_bytes, twin_bytes = _orc_fixture_bytes()
+    _install(ORC_PATH, orc_bytes)
+    _install(ORC_TWIN_PATH, twin_bytes)
+
+
+ensure_orc_fixture()
+
+
+@register(
+    "q_scan_orc",
+    oracle=f"""
+    SELECT product,
+           COUNT(*) AS n_rows,
+           COUNT(total) AS n_total,
+           CAST(SUM(CAST(total AS DECIMAL(38,2))) AS DOUBLE) AS sum_total,
+           CAST(SUM(CAST(quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM read_parquet('{ORC_TWIN_PATH}')
+    GROUP BY product
+    """,
+    doc="ORC scan (Spark's second columnar format, reference had CSV-only "
+    "sources): the fixture is ONE pyarrow table serialized as both ORC "
+    "(Spark side — exercises the native vectorized ORC reader, predicate "
+    "pushdown and column pruning included) and parquet (oracle side — "
+    "DuckDB has no ORC reader, so the twin file from the same in-memory "
+    "table is the equivalence witness). The aggregate projects 3 of 4 "
+    "columns, so ReadSchema on the ORC scan shows column pruning exactly "
+    "as on parquet. At 100 TB ORC vs parquet is a storage-layout choice, "
+    "not a query-shape one — every declared query would run unchanged on "
+    "an ORC lake.",
+    tags=("source",),
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ensure_orc_fixture()
+    df = spark.read.orc(ORC_PATH)
+    return df.groupBy("product").agg(
+        F.count("*").alias("n_rows"),
+        F.count("total").alias("n_total"),
+        F.sum(F.col("total").cast("decimal(38,2)")).cast("double").alias("sum_total"),
+        F.sum(F.col("quantity").cast("bigint")).alias("sum_qty"),
+    )

@@ -656,3 +656,67 @@ def q_text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_known").cast("double") / F.col("n_tokens")).alias("known_ratio"),
         (F.col("df_mass").cast("double") / F.col("n_tokens")).alias("avg_token_df"),
     )
+
+
+@register(
+    "q_text_diversity",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, '') AS cs
+        FROM documents WHERE n_chars > 0
+    ), per AS (
+        SELECT doc_id,
+               CAST(len(cs) AS BIGINT) AS n_chars_split,
+               CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+               CAST(list_sum(list_transform(list_distinct(cs),
+                    c -> CAST(len(list_filter(cs, x -> x = c)) AS BIGINT)
+                         * CAST(len(list_filter(cs, x -> x = c)) AS BIGINT))) AS BIGINT)
+                 AS collision_num
+        FROM base
+    )
+    SELECT doc_id, n_chars_split, n_distinct_chars, collision_num,
+           CAST(collision_num AS DOUBLE)
+             / (CAST(n_chars_split AS DOUBLE) * CAST(n_chars_split AS DOUBLE)) AS simpson
+    FROM per
+    """,
+    doc="Character-distribution diversity per document (Simpson index = "
+    "collision probability sum((count_c/n)^2) — LOW for natural text, "
+    "HIGH for degenerate/repetitive content): the quality gate that "
+    "catches single-character floods and base64-ish uniform noise, "
+    "complementing q_text_repetition's trigram rule. Shannon entropy is "
+    "the textbook form but needs libm log (not bit-reproducible "
+    "cross-engine — same reason q_text_tfidf uses linear idf); the "
+    "Simpson form is exact integer arithmetic (sum of squared counts "
+    "over squared length) with ONE final double division. Computed "
+    "fully IN-ROW with higher-order functions (distinct chars -> "
+    "occurrence counts -> squared sum), so the corpus is never exploded "
+    "into a per-character stream — at 100 TB the explode+regroup "
+    "formulation the oracle uses would shuffle every character of the "
+    "corpus; this shape shuffles nothing.",
+    tags=("text",),
+)
+def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    cs = F.split("text", "")
+    dist = F.array_distinct(cs)
+    counts = F.transform(
+        dist, lambda c: F.size(F.filter(cs, lambda x: x == c)).cast("bigint")
+    )
+    num = F.aggregate(
+        F.transform(counts, lambda c: c * c),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(cs).cast("bigint")
+    return d.select(
+        "doc_id",
+        n.alias("n_chars_split"),
+        F.size(dist).cast("bigint").alias("n_distinct_chars"),
+        num.alias("collision_num"),
+        (
+            F.col("collision_num").cast("double")
+            / (F.col("n_chars_split").cast("double") * F.col("n_chars_split").cast("double"))
+        ).alias("simpson"),
+    ).select(
+        "doc_id", "n_chars_split", "n_distinct_chars", "collision_num", "simpson"
+    )
