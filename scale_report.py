@@ -44,6 +44,13 @@ QUERIES = [
     "q_agg_mode",             # most-frequent-value w/ tiebreak
     "q_window_share",         # percent-of-total window
     "q_zorder_pruning",       # layout simulation (global-window diagnostic)
+    # round-5 late additions: the iterative graph op (fixed per-round cost
+    # must scale with |edges|), the binned interval join (replication-
+    # bounded equi-join must not go superlinear), and PQ encoding (in-row,
+    # should track the corpus scan)
+    "q_pagerank",             # 3 Pregel-class rounds over the trade graph
+    "q_join_interval",        # week-bucketed overlap equi-join
+    "q_sim_pq_adc",           # in-row PQ encode + ADC top-k
 ]
 
 

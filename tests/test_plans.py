@@ -209,3 +209,51 @@ def test_incremental_dedup_restricts_to_cross_pairs(spark, sf_dir):
     plan = plan_str(QS["q_dedup_incremental"].fn(spark, sf_dir))
     assert "LeftSemi" in plan  # fingerprint membership
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_never_explodes_corpus(spark, sf_dir):
+    """PQ encoding must be in-row: the only Generate (explode) allowed is
+    the 16-row codebook build; the corpus side carries none, and both the
+    codebook row and the query row arrive via broadcast."""
+    plan = plan_str(QS["q_sim_pq_adc"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # top-k never globally sorts
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ols_single_partial_agg(spark, sf_dir):
+    """OLS moments fold map-side: two HashAggregates (partial+final) around
+    one exchange — the sufficient-statistics shape."""
+    plan = plan_str(QS["q_ols_regression"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+
+
+def test_interval_join_is_equi_not_cartesian(spark, sf_dir):
+    """The binned interval join must plan as a hash/sort-merge EQUI join on
+    (customer, bucket) — never a cartesian or broadcast-nested-loop theta
+    join (the naive formulation the oracle uses)."""
+    plan = plan_str(QS["q_join_interval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_orc_scan_prunes_columns(spark, sf_dir):
+    """The ORC reader must show column pruning: ordered_at/delivery-style
+    unused columns absent from ReadSchema (the fixture has 4 columns; the
+    query reads product/total/quantity only)."""
+    plan = plan_str(QS["q_scan_orc"].fn(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "price" not in read_schema
+    assert "product" in read_schema
+
+
+def test_gapfill_spine_broadcasts(spark, sf_dir):
+    """The calendar spine (global min/max day -> sequence) must reach the
+    grid via broadcast, never a shuffle of the event stream; the daily
+    rollup keeps the partial-agg pair."""
+    plan = plan_str(QS["q_timeseries_gapfill"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
