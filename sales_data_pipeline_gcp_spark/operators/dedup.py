@@ -1205,3 +1205,93 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= FUZZY_THRESHOLD)
         .select("doc_a", "doc_b", dist.cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered all-pairs similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_prefix_filter",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    {_JACCARD_PAIRS_SQL.strip()}
+    SELECT doc_a, doc_b, jaccard
+    FROM jaccard_pairs
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc=f"Prefix-filtered set-similarity self-join (Bayardo et al. "
+    "AllPairs / Xiao et al. PPJoin — the DETERMINISTIC scale path next "
+    "to probabilistic MinHash-LSH): order each doc's shingles by global "
+    "document frequency (rarest first, ties by value), keep only the "
+    f"first |d| - ceil({JACCARD_THRESHOLD}*|d|) + 1 as the PREFIX, and "
+    "generate candidates by equi-joining prefixes — the prefix-filter "
+    "theorem guarantees every pair with Jaccard >= t shares a prefix "
+    "token, so unlike LSH there are NO false negatives: the oracle is "
+    "the naive exact all-pairs join and must match EXACTLY, which "
+    "adjudicates the completeness property itself. Exact Jaccard "
+    "verification runs on candidates only. At 100 TB the frequency "
+    "ordering concentrates the join on the rarest tokens (the df table "
+    "is one narrow aggregate, shuffled once), so candidate volume "
+    "tracks true-pair volume instead of n^2 — and skew is structurally "
+    "bounded because high-df boilerplate tokens are exactly the ones "
+    "prefix selection discards.",
+    tags=("dedup",),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    sh = materialize(doc_shingles(spark, sf_dir))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")).cast("long") + 1
+    )
+    prefixes = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+            ),
+        )
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = (
+        cands.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
