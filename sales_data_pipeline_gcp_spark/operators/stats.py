@@ -309,3 +309,151 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+MAD_SCALE = 1.4826  # consistency constant: MAD * 1.4826 estimates sigma
+MAD_THRESHOLD = 3.5
+
+
+@register(
+    "q_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med_value
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med_value,
+               ABS(e.value - m.med_value) AS absdev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad_value
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           (d.value - d.med_value) / (CAST({MAD_SCALE} AS DOUBLE) * m.mad_value)
+             AS robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE ABS((d.value - d.med_value) / (CAST({MAD_SCALE} AS DOUBLE) * m.mad_value))
+            > {MAD_THRESHOLD}
+    """,
+    doc=f"Median-absolute-deviation robust outliers (|modified z| > "
+    f"{MAD_THRESHOLD} within event_type): the resistant twin of "
+    "q_outlier_zscore — mean/stddev move with the outliers they hunt, "
+    "median/MAD do not, so contaminated groups still flag correctly. "
+    "Two exact-percentile aggregates (Spark percentile == DuckDB "
+    "quantile_cont bit-for-bit, the q_percentile precedent) with the "
+    "group stats broadcast-joined back — the event stream shuffles "
+    "never, scans twice. At 100 TB heavy groups swap exact percentile "
+    "for approx_percentile with a documented tolerance; exact is right "
+    "here because per-group state is the value list and groups are few.",
+    tags=("agg", "stats"),
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med_value",
+        F.abs(F.col("value") - F.col("med_value")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad_value")
+    )
+    rz = (F.col("value") - F.col("med_value")) / (
+        F.lit(MAD_SCALE) * F.col("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > MAD_THRESHOLD)
+    )
+
+
+@register(
+    "q_chisq_independence",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ), obs AS (
+        SELECT seg, pri, COUNT(*) AS o FROM joined GROUP BY seg, pri
+    ), rows_t AS (SELECT seg, COUNT(*) AS rt FROM joined GROUP BY seg),
+    cols_t AS (SELECT pri, COUNT(*) AS ct FROM joined GROUP BY pri),
+    tot AS (SELECT COUNT(*) AS n FROM joined),
+    grid AS (
+        SELECT r.seg, c.pri, r.rt, c.ct, t.n,
+               COALESCE(ob.o, 0) AS o,
+               CAST(r.rt * c.ct AS DOUBLE) / t.n AS expected
+        FROM rows_t r CROSS JOIN cols_t c CROSS JOIN tot t
+        LEFT JOIN obs ob ON ob.seg = r.seg AND ob.pri = c.pri
+    ), cells AS (
+        SELECT seg, pri, o, expected,
+               (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
+                 / expected AS contrib
+        FROM grid
+    )
+    SELECT seg, pri, o AS observed, expected, contrib,
+           CAST(SUM(CAST(contrib AS DECIMAL(38,12))) OVER () AS DOUBLE) AS chi2
+    FROM cells
+    """,
+    doc="Chi-square test of independence (market segment x order "
+    "priority): observed contingency counts vs the marginal-product "
+    "expectation, per-cell contributions, and the statistic as an "
+    "order-independent decimal-quantized sum broadcast to every row via "
+    "an empty-frame window. The FULL R x C grid is materialized from the "
+    "marginals (cross join of two tiny aggregates) so structurally-zero "
+    "cells still contribute their expectation — dropping them "
+    "understates the statistic. At 100 TB everything after the one "
+    "fact-side count shuffle operates on |R|+|C| rows; the statistical "
+    "machinery is free once the contingency counts exist.",
+    tags=("agg", "stats"),
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    joined = joined.localCheckpoint(eager=True)  # 4 aggregates share the join
+    obs = joined.groupBy("seg", "pri").agg(F.count("*").alias("o"))
+    rows_t = joined.groupBy("seg").agg(F.count("*").alias("rt"))
+    cols_t = joined.groupBy("pri").agg(F.count("*").alias("ct"))
+    tot = joined.agg(F.count("*").alias("n"))
+    grid = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["seg", "pri"], "left")
+        .select(
+            "seg",
+            "pri",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            ((F.col("rt") * F.col("ct")).cast("double") / F.col("n")).alias("expected"),
+        )
+    )
+    od = F.col("o").cast("double")
+    cells = grid.select(
+        "seg",
+        "pri",
+        "o",
+        "expected",
+        ((od - F.col("expected")) * (od - F.col("expected")) / F.col("expected")).alias(
+            "contrib"
+        ),
+    )
+    return cells.select(
+        "seg",
+        "pri",
+        F.col("o").alias("observed"),
+        "expected",
+        "contrib",
+        F.sum(F.col("contrib").cast("decimal(38,12)"))
+        .over(W.partitionBy())
+        .cast("double")
+        .alias("chi2"),
+    )
