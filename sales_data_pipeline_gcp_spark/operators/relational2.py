@@ -724,3 +724,89 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).cast("bigint").alias("overlap_days"),
     )
+
+
+#: bitmap distinct: 63 ids per BIGINT word (bit 63 untouched — keeps the
+#: shifted value positive in both engines' signed 64-bit space).
+BITMAP_WORD = 63
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle=f"""
+    WITH words AS (
+        SELECT event_type, user_id // {BITMAP_WORD} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % {BITMAP_WORD} AS INTEGER)) AS bits
+        FROM events GROUP BY event_type, user_id // {BITMAP_WORD}
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(bit_count(bits) AS BIGINT)) AS BIGINT) AS n_distinct_users,
+           COUNT(*) AS n_words
+    FROM words GROUP BY event_type
+    """,
+    doc="Exact distinct counting via positional BITMAPS (the roaring-"
+    "bitmap idea expressed in two grouped aggregates): ids bucket into "
+    f"{BITMAP_WORD}-bit words, bit_or folds presence map-side, and the "
+    "final count is a sum of popcounts. Versus COUNT(DISTINCT), which "
+    "plans an Expand + full-width shuffle of every (key, id) pair, the "
+    "bitmap shuffles AT MOST one BIGINT per (key, 63-id block) — on "
+    "dense id spaces that is a 63x shuffle-payload cut with exact "
+    "results (the HLL sketch in q_agg_approx is the lossy alternative; "
+    "this is the lossless one). Both aggregation levels combine "
+    "map-side; bit 63 stays clear so the words never go negative in "
+    "either engine's signed arithmetic.",
+    tags=("agg",),
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(f"user_id div {BITMAP_WORD}").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD} AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits").cast("bigint")).alias("n_distinct_users"),
+        F.count("*").alias("n_words"),
+    )
+
+
+NTILE_N = 4
+
+
+@register(
+    "q_window_ntile",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(NTILE({NTILE_N}) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC
+           ) AS INTEGER) AS balance_quartile
+    FROM customer
+    """,
+    doc=f"NTILE({NTILE_N}) balance quartiles within each nation — the "
+    "bucketing window (cohort assignment, quantile binning). The ORDER "
+    "BY is made TOTAL (balance desc, then key) because ntile splits tied "
+    "boundary rows by position: without the tie-break the bucket of "
+    "equal-balance customers would be engine-dependent. Partitioned by "
+    "nation, so the window parallelizes across partitions — a GLOBAL "
+    "ntile is a single-reducer shape whose scale fix is range-bucketing "
+    "first (the q_zorder_layout ntile does exactly that).",
+    tags=("window",),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(NTILE_N).over(w).cast("int").alias("balance_quartile"),
+    )
