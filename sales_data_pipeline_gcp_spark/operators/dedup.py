@@ -1212,6 +1212,74 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def prefix_candidates(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from the prefix filter:
+    order each doc's shingles by global df (rarest first, ties by value),
+    keep the first |d| - ceil(t*|d|) + 1, equi-join prefixes. Complete for
+    Jaccard >= ``threshold`` by the prefix-filter theorem."""
+    from pyspark.sql import Window as W
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("long") + 1
+    )
+    prefixes = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+            ),
+        )
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    return (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def prefix_filter_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Prefix-filter candidates + exact Jaccard verification — the full
+    AllPairs/PPJoin pipeline over an exploded (doc_id, shingle) set."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cands = prefix_candidates(sh, threshold)
+    inter = (
+        cands.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 @register(
     "q_dedup_prefix_filter",
     oracle=f"""
@@ -1240,58 +1308,4 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    sh = materialize(doc_shingles(spark, sf_dir))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    prefix_len = (
-        F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")).cast("long") + 1
-    )
-    prefixes = (
-        sh.join(dfreq, "shingle")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-            ),
-        )
-        .join(sizes, "doc_id")
-        .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "shingle")
-    )
-    cands = (
-        prefixes.alias("a")
-        .join(
-            prefixes.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    inter = (
-        cands.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            sh.alias("y"),
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("x.shingle") == F.col("y.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return prefix_filter_pairs(materialize(doc_shingles(spark, sf_dir)))

@@ -253,3 +253,65 @@ def test_cdc_chunks_survive_insertion(spark, seed):
     # survives in the edited doc
     surviving = [fp for fp in a if fp in b]
     assert len(surviving) >= len(a) - 2, (seed, len(a), len(surviving))
+
+
+# --- prefix filter: completeness on random corpora + skew discard ----------
+
+from sales_data_pipeline_gcp_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    prefix_candidates,
+    prefix_filter_pairs,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_prefix_filter_matches_exact_join(spark, seed):
+    """The prefix-filtered pipeline must return EXACTLY the pairs with
+    Jaccard >= t (completeness theorem + verification): compare against
+    the pure-Python all-pairs reference on randomized corpora."""
+    rng = random.Random(seed)
+    docs = []
+    for i in range(rng.randint(2, 12)):
+        n = rng.randint(0, 14)
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(n))))
+    if rng.random() < 0.5 and docs:
+        docs.append((len(docs), docs[0][1]))  # force a true duplicate
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(shingles_from(df)).collect()
+    }
+
+    sh = {i: _py_shingles(t) for i, t in docs}
+    expected = {}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i < j and sh[i] and sh[j]:
+                inter = len(sh[i] & sh[j])
+                jac = inter / (len(sh[i]) + len(sh[j]) - inter)
+                if jac >= JACCARD_THRESHOLD:
+                    expected[(i, j)] = jac
+    assert got == expected, (seed, got, expected)
+
+
+def test_prefix_filter_discards_boilerplate_skew(spark):
+    """Adversarial boilerplate: every doc shares one identical 3-word
+    header but is otherwise unique. A naive token join would put all
+    n*(n-1)/2 pairs through the shared shingle's bucket; frequency-ordered
+    prefix selection ranks the shared shingle LAST (highest df), so it
+    never enters any prefix and the candidate set stays tiny."""
+    n = 40
+    docs = [
+        (i, "common header tokens " + " ".join(f"u{i}w{j}" for j in range(6)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = shingles_from(df)
+    n_cands = prefix_candidates(sh).count()
+    # shared-shingle bucket alone would contribute n*(n-1)/2 = 780 pairs
+    assert n_cands < n, f"prefix filter failed to discard boilerplate: {n_cands} candidates"
+    # and the verified output is exactly empty: no pair reaches J >= 0.5
+    assert prefix_filter_pairs(sh).count() == 0
