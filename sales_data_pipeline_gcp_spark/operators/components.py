@@ -315,9 +315,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select((F.col("s") + NODE_OFFSET).alias("src"), F.col("c").alias("dst"))
     )
+    # edges / nodes / outdeg feed EVERY iteration branch; without cutting
+    # their lineage each unrolled iteration re-derives the orders-lineitem
+    # join (Spark does no cross-branch subtree reuse — measured 12.9s vs
+    # ~2s at sf0.1). All three checkpoints are edge- or node-sized.
     edges = materialize(edges)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    outdeg = edges.groupBy(F.col("src")).agg(F.count("*").alias("deg"))
+    nodes = materialize(edges.select(F.col("src").alias("node")).distinct())
+    outdeg = materialize(edges.groupBy(F.col("src")).agg(F.count("*").alias("deg")))
     nn_row = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(nn_row)).select(
@@ -327,13 +331,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         srcw = ranks.join(outdeg, ranks["node"] == outdeg["src"]).select(
             F.col("src"), (F.col("rank") / F.col("deg")).alias("w")
         )
+        # the rank-weight vector is |nodes|-sized — orders of magnitude
+        # smaller than edges on any real trade graph — so broadcasting it
+        # keeps the edge list UNSHUFFLED through every iteration (measured
+        # 5-6s/iter as a shuffle join vs ~1.2s broadcast at sf0.1; AQE does
+        # not rescue the planned SMJ because the probe-side exchange is
+        # already scheduled). If ranks ever outgrow broadcast, the Pregel
+        # answer is co-partitioned storage: bucketBy(node) both edge and
+        # rank tables so the per-iteration join is exchange-free
+        # (q_join_bucketed demonstrates exactly that plan).
         contrib = (
-            edges.join(srcw, "src")
+            edges.join(F.broadcast(srcw), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.coalesce(F.sum(dec(F.col("w"), 12)), F.lit(0).cast("decimal(38,12)")).cast("double").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
+        # per-iteration checkpoint (|nodes| rows): iteration k's plan must
+        # not replay iterations 1..k-1 — same discipline as
+        # connected_components' rounds
+        ranks = materialize(
+            nodes.join(F.broadcast(contrib), "node", "left")
             .crossJoin(F.broadcast(nn_row))
             .select(
                 "node",
