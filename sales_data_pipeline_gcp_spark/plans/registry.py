@@ -103,7 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pruning queries; (b) the eight queries whose latest green is round 1
     # (the oldest evidence in the repo); (c) the three queries whose
     # implementation was touched this round (stop-shingle drop paths, the
-    # JPEG marker-walk fix, the stream-ingest evidence columns); (d) 23 of
+    # JPEG marker-walk fix, the stream-ingest evidence columns); (d) 18 of
     # the 37 round-2-latest queries. Left out of (d) on purpose:
     # q_agg_approx / q_sample_stratified are inherently rows-only (a
     # window slot buys them no stronger evidence — their hard checks live
@@ -111,14 +111,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_math_scalars / q_array_scalars / q_array_predicates /
     # q_map_functions / q_sample_hash are single-stage scalar/sampling
     # shapes with plan tests and strict local parity (one slot ceded to
-    # the new q_join_bucketed); seven more round-2 slots (the TPC-H trio
-    # Q3/Q7/Q18 plus unpivot/firstlast/percentrank/range-frame windows)
-    # ceded to the seven operators ADDED later in round 5 — a
-    # never-adjudicated query outranks re-refreshing a round-2 green, and
-    # the displaced seven lead the round-6 rotation. Everything outside
-    # the window keeps sf0.01 oracle parity cover via
-    # tests/test_parity.py; the 45 round-3-latest queries fill the rest
-    # of round 6.
+    # the new q_join_bucketed); twelve more round-2 slots (the TPC-H trio
+    # Q3/Q7/Q18, unpivot/firstlast/percentrank/range-frame windows,
+    # filtered/grouping-sets aggs, histogram, right join, pivot) ceded to
+    # the TWELVE operators ADDED later in round 5 — a never-adjudicated
+    # query outranks re-refreshing a round-2 green, and the displaced
+    # twelve lead the round-6 rotation. Everything outside the window
+    # keeps sf0.01 oracle parity cover via tests/test_parity.py; the 45
+    # round-3-latest queries fill the rest of round 6.
     # (a) never driver-adjudicated:
     "q_zorder_layout",
     "q_bloom_prefilter",
@@ -136,6 +136,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_orc",           # new r5: ORC source
     "q_join_interval",      # new r5: binned interval-overlap join
     "q_text_diversity",     # new r5: Simpson char-diversity gate
+    "q_dedup_prefix_filter",   # new r5: AllPairs/PPJoin similarity join
+    "q_outlier_mad",           # new r5: MAD robust outliers
+    "q_chisq_independence",    # new r5: chi-square contingency test
+    "q_agg_bitmap_distinct",   # new r5: bitmap-word exact distinct
+    "q_window_ntile",          # new r5: per-group quartile buckets
     # (b) round-1-latest greens:
     "q_agg_distinct",
     "q_agg_global",
@@ -150,14 +155,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_multimodal_decode",
     "q_stream_ingest",
     # (d) round-2-latest greens:
-    "q_agg_filtered",
-    "q_agg_grouping_sets",
     "q_agg_salted",
     "q_agg_stats",
     "q_grouped_trend",
     "q_grouped_trend_sql",
-    "q_histogram",
-    "q_join_right",
     "q_join_salted",
     "q_knn_join",
     "q_merge_upsert",
@@ -165,7 +166,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_multimodal_framesample",
     "q_null_safe_join",
     "q_null_semantics",
-    "q_pivot",
     "q_scan_csv_schema",
     "q_scan_json",
     "q_sketch_cms",
