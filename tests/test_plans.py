@@ -257,3 +257,32 @@ def test_gapfill_spine_broadcasts(spark, sf_dir):
     plan = plan_str(QS["q_timeseries_gapfill"].fn(spark, sf_dir))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+
+
+def test_bitmap_distinct_combines_map_side(spark, sf_dir):
+    """Both bitmap aggregation levels must carry the partial/final
+    HashAggregate pair (4 total) and never plan COUNT DISTINCT's Expand."""
+    plan = plan_str(QS["q_agg_bitmap_distinct"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 4
+
+
+def test_mad_broadcasts_group_stats(spark, sf_dir):
+    """The median/MAD tables are group-cardinality-sized and must reach
+    the event stream via broadcast — the stream itself never shuffles."""
+    plan = plan_str(QS["q_outlier_mad"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_chisq_grid_broadcasts_marginals(spark, sf_dir):
+    """Marginal tables (R rows, C rows, 1 row) are broadcast into the
+    grid build; only the fact-side contingency count shuffles."""
+    plan = plan_str(QS["q_chisq_independence"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_prefix_filter_no_cartesian(spark, sf_dir):
+    """Candidate generation must stay an equi-join on the prefix token —
+    the theta work happens only in the row-level PPJoin filters."""
+    plan = plan_str(QS["q_dedup_prefix_filter"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
