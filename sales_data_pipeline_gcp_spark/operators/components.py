@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_gcp_spark.operators.dedup import (
+    _JACCARD_PAIRS_SQL,
+    _SHINGLES_SQL,
     JACCARD_THRESHOLD,
     fan_out,
     materialize,
@@ -367,4 +369,59 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pagerank").desc(), F.col("node").asc())
         .limit(PR_TOPN)
+    )
+
+
+# --- triangle enumeration over the near-dup graph -------------------------
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    {_JACCARD_PAIRS_SQL.strip()},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jaccard_pairs
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    )
+    SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="Triangle enumeration over the near-dup similarity graph: triples "
+    "of documents that are ALL pairwise near-duplicates — the template-"
+    "family signal (a triangle is much stronger evidence of a shared "
+    "boilerplate source than two independent pair hits), and the classic "
+    "distributed-join graph kernel. Edges are the exact-Jaccard pairs "
+    "oriented a<b, so each triangle appears exactly once as a<b<c: one "
+    "self-join builds wedges, a second closes them. At 100 TB the "
+    "standard refinement is DEGREE ordering instead of id ordering — "
+    "orient each edge toward the higher-degree endpoint so wedge count "
+    "is bounded by sum of C(out-deg, 2) with out-deg <= O(sqrt(|E|)) "
+    "(Suri & Vassilvitskii's MapReduce triangle counting); id ordering "
+    "suffices here because near-dup graphs are sparse by construction — "
+    "candidates track true duplicates, not pairs.",
+    tags=("graph", "dedup"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.operators.dedup import doc_shingles, jaccard_pairs
+
+    sh = materialize(doc_shingles(spark, sf_dir))
+    edges = materialize(
+        jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(
+            F.col("e1.a").alias("doc_a"),
+            F.col("e1.b").alias("doc_b"),
+            F.col("e2.b").alias("doc_c"),
+        )
     )
