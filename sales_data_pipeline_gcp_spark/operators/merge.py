@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_gcp_spark.functions.hashing import sql_shared_hash
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.operators.core import dedup_by_key
 from sales_data_pipeline_gcp_spark.plans.registry import register
@@ -115,4 +116,115 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+# --- Merkle-style table reconciliation ------------------------------------
+
+#: diff granularity: rows bucket by key % DIFF_BUCKETS; a bucket whose
+#: (count, xor-of-row-signatures) agrees on both sides is PROVEN equal
+#: without comparing any row.
+DIFF_BUCKETS = 256
+#: simulated drift in the replica: every 997th key gets an update, every
+#: 1499th is missing (deterministic, so the oracle replays it exactly).
+DIFF_UPDATE_MOD = 997
+DIFF_DELETE_MOD = 1499
+
+_DIFF_ROW_SIG = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' "
+    "|| CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' || o_orderstatus"
+)
+
+
+@register(
+    "q_table_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey % {DIFF_BUCKETS} AS bucket,
+               {sql_shared_hash(_DIFF_ROW_SIG)} AS sig
+        FROM orders
+    ), b_rows AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % {DIFF_UPDATE_MOD} = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % {DIFF_DELETE_MOD} <> 0
+    ), b AS (
+        SELECT o_orderkey % {DIFF_BUCKETS} AS bucket,
+               {sql_shared_hash(_DIFF_ROW_SIG)} AS sig
+        FROM b_rows
+    ), ba AS (
+        SELECT bucket, COUNT(*) AS n_a, bit_xor(sig) AS xor_a FROM a GROUP BY bucket
+    ), bb AS (
+        SELECT bucket, COUNT(*) AS n_b, bit_xor(sig) AS xor_b FROM b GROUP BY bucket
+    )
+    SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+           xor_a, xor_b
+    FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket
+    WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+       OR COALESCE(xor_a, 0) <> COALESCE(xor_b, 0)
+    """,
+    doc=f"Merkle-style table reconciliation (the anti-entropy / "
+    "replica-validation shape): each side folds every row into a "
+    f"per-bucket (count, XOR-of-row-signatures) digest — {DIFF_BUCKETS} "
+    "buckets by key — and only buckets whose digests disagree are "
+    "reported. XOR is commutative/associative, so the digest is "
+    "merge-order-independent with NO decimal machinery, and a clean "
+    "bucket proves equality of all its rows without moving any of them: "
+    "at 100 TB the diff of two replicas costs two scans + a "
+    f"{DIFF_BUCKETS}-row join, and only flagged buckets are re-read at "
+    "row granularity (recursing into a flagged bucket with a finer "
+    "modulus is the Merkle-tree descent). The replica's drift here is "
+    "synthesized deterministically (update every "
+    f"{DIFF_UPDATE_MOD}th key, drop every {DIFF_DELETE_MOD}th) so the "
+    "oracle replays the exact same divergence. Row signatures hash the "
+    "money column at integer cents — casting raw doubles to VARCHAR is "
+    "engine-dependent formatting, the cross-engine trap this query's "
+    "signature definition documents.",
+    tags=("warehouse",),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.functions.hashing import shared_hash
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    sig_input = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        cents.cast("string"),
+        F.col("o_orderstatus"),
+    )
+
+    def digest(df: DataFrame, n_col: str, x_col: str) -> DataFrame:
+        return (
+            df.select(
+                (F.col("o_orderkey") % DIFF_BUCKETS).alias("bucket"),
+                shared_hash(sig_input).alias("sig"),
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias(n_col), F.bit_xor("sig").alias(x_col))
+        )
+
+    a = digest(o, "n_a", "xor_a")
+    b_rows = o.filter(F.col("o_orderkey") % DIFF_DELETE_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % DIFF_UPDATE_MOD == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    b = digest(b_rows, "n_b", "xor_b")
+    return (
+        a.join(b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            "xor_a",
+            "xor_b",
+        )
+        .filter(
+            (F.col("n_a") != F.col("n_b"))
+            | (F.coalesce("xor_a", F.lit(0)) != F.coalesce("xor_b", F.lit(0)))
+        )
     )

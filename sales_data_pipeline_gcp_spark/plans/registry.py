@@ -142,6 +142,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_agg_bitmap_distinct",   # new r5: bitmap-word exact distinct
     "q_window_ntile",          # new r5: per-group quartile buckets
     "q_graph_triangles",       # new r5: near-dup triangle enumeration
+    "q_table_diff",            # new r5: Merkle-style replica diff
     # (b) round-1-latest greens:
     "q_agg_distinct",
     "q_agg_global",
@@ -156,7 +157,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_multimodal_decode",
     "q_stream_ingest",
     # (d) round-2-latest greens:
-    "q_agg_stats",
     "q_grouped_trend",
     "q_grouped_trend_sql",
     "q_join_salted",
