@@ -332,3 +332,115 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_mean", ignorenulls=True).over(w).alias("ffill_mean"),
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ) AS next_type
+        FROM events
+    ), counts AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LEAD over a TOTAL order (event time, then event_id — "
+    "same-timestamp rows would otherwise make the successor "
+    "engine-dependent), transition counts, and row-normalized "
+    "probabilities via a partition-total window. The behavioral-model "
+    "shape behind next-action prediction and session simulation. "
+    "Probabilities are exact-integer counts divided once, so no decimal "
+    "machinery is needed. At 100 TB: one user-keyed window shuffle "
+    "builds successors (state = one row lookahead), then the matrix is "
+    "|types|^2 rows — the heavy stream collapses immediately.",
+    tags=("events", "window"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    counts = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wt = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, value,
+               epoch_ns(ts) AS t,
+               LEAD(epoch_ns(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ) AS t_next
+        FROM events
+    ), held AS (
+        SELECT user_id, value, t_next - t AS dt_ns
+        FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(CAST(dt_ns AS DECIMAL(38,0))) AS BIGINT) AS held_ns,
+           CAST(SUM(CAST(value * 100 AS DECIMAL(38,0)) * CAST(dt_ns AS DECIMAL(38,0))) AS DOUBLE)
+             / (1e2 * CAST(SUM(CAST(dt_ns AS DECIMAL(38,0))) AS DOUBLE)) AS twap
+    FROM held
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user (the TWAP / IoT "
+    "sample-and-hold metric): each observation is weighted by how long "
+    "it was the CURRENT value — lead() over the total (time, event_id) "
+    "order gives the hold interval; the last observation of each user "
+    "has no successor and is excluded, the standard open-interval "
+    "convention. Value x duration products accumulate as scale-0 "
+    "decimals (cents x nanoseconds stays far under 10^38), so the "
+    "weighted sum is order-exact; one final double division. A plain "
+    "AVG over irregular samples over-weights bursts — this is the "
+    "correct aggregate for unevenly-sampled series. One window shuffle "
+    "+ one grouped agg, both keyed by user.",
+    tags=("events", "window"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", F.col("ts").alias("t"), F.lead("ts").over(w).alias("t_next")
+    )
+    held = seq.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "value", (F.col("t_next") - F.col("t")).alias("dt_ns")
+    )
+    v_c = F.col("value") * 100
+    return held.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dec(F.col("dt_ns"), 0)).cast("bigint").alias("held_ns"),
+        (
+            F.sum(dec(v_c, 0) * dec(F.col("dt_ns"), 0)).cast("double")
+            / (F.lit(1e2) * F.sum(dec(F.col("dt_ns"), 0)).cast("double"))
+        ).alias("twap"),
+    )

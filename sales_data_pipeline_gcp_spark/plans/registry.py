@@ -143,6 +143,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_window_ntile",          # new r5: per-group quartile buckets
     "q_graph_triangles",       # new r5: near-dup triangle enumeration
     "q_table_diff",            # new r5: Merkle-style replica diff
+    "q_event_transitions",     # new r5: Markov transition matrix
+    "q_time_weighted_avg",     # new r5: TWAP over irregular samples
     # (b) round-1-latest greens:
     "q_agg_distinct",
     "q_agg_global",
@@ -157,8 +159,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_multimodal_decode",
     "q_stream_ingest",
     # (d) round-2-latest greens:
-    "q_grouped_trend",
-    "q_grouped_trend_sql",
     "q_join_salted",
     "q_knn_join",
     "q_merge_upsert",
