@@ -457,3 +457,151 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2"),
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH weighted AS (
+        SELECT l_returnflag,
+               l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ), cum AS (
+        SELECT l_returnflag, price, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM weighted
+    )
+    SELECT l_returnflag,
+           CAST(MIN(total_w) AS BIGINT) AS total_weight,
+           MIN(price) AS wmedian_price
+    FROM cum
+    WHERE 2 * cumw >= total_w
+    GROUP BY l_returnflag
+    """,
+    doc="Weighted (lower) median price per return flag, weighted by "
+    "quantity: sort by price within the group, accumulate integer "
+    "weights, and take the smallest price whose cumulative weight "
+    "reaches half the total. Weights are exact BIGINTs (quantities are "
+    "integral), so the cumulative sums are bit-exact however each "
+    "engine schedules the frame, and the crossing PRICE is invariant "
+    "under tie permutations: if the threshold lands inside a run of "
+    "equal prices, every permutation of that run crosses at the same "
+    "price value, so no explicit tie-break column is needed. The "
+    "quantile-with-frequency shape percentile_approx can only "
+    "approximate and percentile() can't weight. At 100 TB: one "
+    "group-keyed window sort — same cost class as any per-group "
+    "quantile; groups parallelize and AQE splits skewed ones.",
+    tags=("agg", "stats", "window"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    weighted = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wcum = (
+        W.partitionBy("l_returnflag").orderBy("price").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    cum = weighted.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wtot).alias("total_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("total_w").alias("total_weight"),
+            F.min("price").alias("wmedian_price"),
+        )
+    )
+
+
+#: Cumulative-revenue-share cutoffs for the A/B/C classes.
+ABC_A_SHARE = 0.80
+ABC_B_SHARE = 0.95
+
+
+@register(
+    "q_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+                 AS rev_dec
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, rev_dec,
+               ROW_NUMBER() OVER (ORDER BY rev_dec DESC, l_partkey) AS rnk,
+               SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum_dec,
+               SUM(rev_dec) OVER () AS total_dec
+        FROM rev
+    )
+    SELECT l_partkey, rnk,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS cum_share,
+           CASE
+             WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+                    <= {ABC_A_SHARE} THEN 'A'
+             WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+                    <= {ABC_B_SHARE} THEN 'B'
+             ELSE 'C'
+           END AS abc_class
+    FROM ranked
+    """,
+    doc="Pareto / ABC inventory classification: per-part discounted "
+    "revenue, ranked descending with the part key as total-order "
+    "tie-break, cumulative revenue share, and the classic A (first "
+    f"{ABC_A_SHARE:.0%} of revenue) / B (to {ABC_B_SHARE:.0%}) / C split. "
+    "The cumulative sum runs over DECIMAL(38,4) so it is exact and "
+    "associative — DuckDB's segment-tree window accumulation and "
+    "Spark's running frame cannot disagree — and the share is a single "
+    "double division per row. The class boundaries compare that "
+    "identical double against literals, so the labels match bit-for-bit. "
+    "At 100 TB: the fact stream collapses in the map-side-combined "
+    "per-part agg first; the global ranking window then runs over the "
+    "PART DIMENSION (orders of magnitude smaller than the fact table). "
+    "A dimension-sized global sort is one range-partitioned exchange; "
+    "the single-task cumulative frame is the inherent sequential tail "
+    "of any exact Pareto curve and is documented as dimension-bounded.",
+    tags=("agg", "stats", "window"),
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_partkey").agg(F.sum(dec(disc_price, 4)).alias("rev_dec"))
+    order = [F.col("rev_dec").desc(), F.col("l_partkey").asc()]
+    wrank = W.orderBy(*order)
+    wcum = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "rev_dec",
+        F.row_number().over(wrank).alias("rnk"),
+        F.sum("rev_dec").over(wcum).alias("cum_dec"),
+        F.sum("rev_dec").over(wtot).alias("total_dec"),
+    )
+    share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
+    return ranked.select(
+        "l_partkey",
+        "rnk",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= ABC_A_SHARE, "A")
+        .when(share <= ABC_B_SHARE, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

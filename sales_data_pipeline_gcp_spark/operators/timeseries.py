@@ -1,0 +1,291 @@
+"""Time-series feature operators beyond the resample/gap-fill family in
+``events_queries.py``: half-life-decayed aggregates (feature-store
+freshness weighting), linear interpolation over a dense calendar spine,
+and trailing-baseline anomaly flagging.
+
+Reference parity: the reference's only time handling is ingest-time date
+arithmetic (scripts/process_sales.py:55-60); these operators generalize
+that single-column date math to the derived-feature shapes a training-data
+pipeline computes over event history.
+
+Exactness: every weighted sum accumulates integers or wide decimals
+(dyadic weights ``2^(H-age)`` are exact BIGINTs), so partial-aggregation
+order can never change a bit; the single final division to DOUBLE is the
+only float op and is identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.functions.exact import dec
+from sales_data_pipeline_gcp_spark.io import NS_PER_SECOND, load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+_NS_PER_DAY = NS_PER_SECOND * 86_400
+
+#: Half-life horizon in days: observations older than this (weight below
+#: 2^-HORIZON ~ 4e-6 of the newest) truncate to zero weight and are
+#: filtered before the aggregate. Keeping the exponent bounded is what
+#: lets the weight be an exact BIGINT ``2^(HORIZON - age)`` instead of a
+#: transcendental ``exp(-age/tau)`` whose last ulp differs across engines.
+DECAY_HORIZON_DAYS = 18
+
+
+@register(
+    "q_decayed_avg",
+    oracle=f"""
+    WITH anchored AS (
+        SELECT e.user_id, e.value,
+               (t.tmax - epoch_ns(e.ts)) // {_NS_PER_DAY} AS age_days
+        FROM events e
+        CROSS JOIN (SELECT MAX(epoch_ns(ts)) AS tmax FROM events) t
+    ), weighted AS (
+        SELECT user_id, value,
+               (CAST(1 AS BIGINT) << ({DECAY_HORIZON_DAYS} - age_days)) AS w
+        FROM anchored
+        WHERE age_days <= {DECAY_HORIZON_DAYS}
+    )
+    SELECT user_id,
+           COUNT(*) AS n_recent,
+           CAST(SUM(w) AS BIGINT) AS weight_sum,
+           CAST(SUM(CAST(value * 100 AS DECIMAL(38,0)) * w) AS DOUBLE)
+             / (1e2 * CAST(SUM(w) AS DOUBLE)) AS decayed_avg
+    FROM weighted
+    GROUP BY user_id
+    """,
+    doc="Half-life time-decayed average value per user — the feature-store "
+    "freshness aggregate (recent behavior outweighs stale behavior, "
+    "half-life = 1 day). Weights are EXACT dyadic integers "
+    "2^(H - age_days) with age clamped to the H-day horizon, so the "
+    "weighted sum is an integer-x-decimal accumulation — merge-order "
+    "independent, bit-identical cross-engine — instead of the usual "
+    "exp(-age/tau) whose transcendental rounding differs by ulps across "
+    "engines. The anchor (global max event time) is a broadcast scalar. "
+    "At 100 TB: one map-side-combined user-keyed agg over a narrow "
+    "projection; the horizon filter prunes the long tail before any "
+    "shuffle, and with an event-date-partitioned layout it becomes "
+    "partition pruning (q_scan_pruned's lever).",
+    tags=("timeseries", "events"),
+)
+def q_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    anchored = ev.crossJoin(F.broadcast(tmax)).select(
+        "user_id",
+        "value",
+        F.expr(f"(tmax - ts) div {_NS_PER_DAY}").alias("age_days"),
+    )
+    weighted = anchored.filter(F.col("age_days") <= DECAY_HORIZON_DAYS).select(
+        "user_id",
+        "value",
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({DECAY_HORIZON_DAYS} - age_days AS INT))").alias("w"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").alias("n_recent"),
+        F.sum("w").alias("weight_sum"),
+        (
+            F.sum(dec(F.col("value") * 100, 0) * F.col("w")).cast("double")
+            / (F.lit(1e2) * F.sum("w").cast("double"))
+        ).alias("decayed_avg"),
+    )
+
+
+@register(
+    "q_timeseries_interpolate",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_ns(ts) // {_NS_PER_DAY} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS day_mean
+        FROM events
+        GROUP BY event_type, epoch_ns(ts) // {_NS_PER_DAY}
+    ), bounds AS (
+        SELECT MIN(epoch_ns(ts) // {_NS_PER_DAY}) AS dmin,
+               MAX(epoch_ns(ts) // {_NS_PER_DAY}) AS dmax
+        FROM events
+    ), grid AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(dmin, dmax)) AS day FROM bounds
+        ) gs
+    ), anchored AS (
+        SELECT g.event_type, g.day, d.day_mean,
+               CASE WHEN d.day_mean IS NOT NULL THEN g.day END AS obs_day
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day = d.day
+    ), neighbors AS (
+        SELECT event_type, day, day_mean,
+               LAST_VALUE(obs_day IGNORE NULLS) OVER past AS prev_day,
+               LAST_VALUE(day_mean IGNORE NULLS) OVER past AS prev_val,
+               FIRST_VALUE(obs_day IGNORE NULLS) OVER future AS next_day,
+               FIRST_VALUE(day_mean IGNORE NULLS) OVER future AS next_val
+        FROM anchored
+        WINDOW past AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               future AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day, day_mean,
+           CASE
+             WHEN day_mean IS NOT NULL THEN day_mean
+             WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+               prev_val + (next_val - prev_val)
+                 * CAST(day - prev_day AS DOUBLE)
+                 / CAST(next_day - prev_day AS DOUBLE)
+             ELSE COALESCE(prev_val, next_val)
+           END AS interp_mean
+    FROM neighbors
+    """,
+    doc="Linear interpolation over the dense daily grid: the harder twin of "
+    "q_timeseries_gapfill's forward fill. Missing days get "
+    "prev + (next - prev) * (day - prev_day)/(next_day - prev_day) from "
+    "the nearest observed neighbors on each side (last/first over "
+    "IGNORE NULLS windows); leading/trailing gaps hold the single "
+    "available neighbor. The interpolation expression is written "
+    "token-identically in both engines over exact inputs (integer days, "
+    "decimal-exact daily means), so the IEEE result is bit-identical. "
+    "Same 100 TB posture as gapfill: the spine is |days| x |types| — the "
+    "event stream collapses in the first map-side-combined rollup and "
+    "every window runs over the tiny dense grid.",
+    tags=("timeseries", "events", "window"),
+)
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    daily = (
+        ev.select("event_type", day.alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg((F.sum(dec(F.col("value"), 2)).cast("double") / F.count("*")).alias("day_mean"))
+    )
+    bounds = ev.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
+    days = bounds.select(F.explode(F.sequence("dmin", "dmax")).alias("day"))
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(days))
+    anchored = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "day_mean",
+        F.when(F.col("day_mean").isNotNull(), F.col("day")).alias("obs_day"),
+    )
+    past = W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    future = W.partitionBy("event_type").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    nb = anchored.select(
+        "event_type",
+        "day",
+        "day_mean",
+        F.last("obs_day", ignorenulls=True).over(past).alias("prev_day"),
+        F.last("day_mean", ignorenulls=True).over(past).alias("prev_val"),
+        F.first("obs_day", ignorenulls=True).over(future).alias("next_day"),
+        F.first("day_mean", ignorenulls=True).over(future).alias("next_val"),
+    )
+    interp = (
+        F.when(F.col("day_mean").isNotNull(), F.col("day_mean"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (F.col("day") - F.col("prev_day")).cast("double")
+            / (F.col("next_day") - F.col("prev_day")).cast("double"),
+        )
+        .otherwise(F.coalesce("prev_val", "next_val"))
+    )
+    return nb.select("event_type", "day", "day_mean", interp.alias("interp_mean"))
+
+
+#: Trailing-baseline window (days strictly before the current day) and the
+#: minimum history needed before a day can be judged at all.
+ANOMALY_BASELINE_DAYS = 14
+ANOMALY_MIN_HISTORY = 7
+ANOMALY_SIGMA = 3
+
+
+@register(
+    "q_events_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_ns(ts) // {_NS_PER_DAY} AS day,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type, epoch_ns(ts) // {_NS_PER_DAY}
+    ), base AS (
+        SELECT event_type, day, n_events,
+               COUNT(n_events)  OVER trail AS n_prior,
+               SUM(n_events)    OVER trail AS sum_prior,
+               SUM(n_events * n_events) OVER trail AS sumsq_prior
+        FROM daily
+        WINDOW trail AS (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN {ANOMALY_BASELINE_DAYS} PRECEDING
+                                   AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n_events, n_prior,
+           CAST(sum_prior AS DOUBLE) / n_prior AS baseline_mean,
+           (CAST(sumsq_prior AS DOUBLE)
+              - CAST(sum_prior AS DOUBLE) * CAST(sum_prior AS DOUBLE)
+                / n_prior) / n_prior AS baseline_var,
+           (CAST(n_events AS DOUBLE) - CAST(sum_prior AS DOUBLE) / n_prior)
+             * (CAST(n_events AS DOUBLE) - CAST(sum_prior AS DOUBLE) / n_prior)
+             > {ANOMALY_SIGMA * ANOMALY_SIGMA}
+               * ((CAST(sumsq_prior AS DOUBLE)
+                    - CAST(sum_prior AS DOUBLE) * CAST(sum_prior AS DOUBLE)
+                      / n_prior) / n_prior) AS is_anomaly
+    FROM base
+    WHERE n_prior >= {ANOMALY_MIN_HISTORY}
+    """,
+    doc="Trailing-baseline anomaly detection on daily per-type event "
+    "volumes — the data-quality monitor a production ingest runs: each "
+    "day is compared against the mean/variance of the prior "
+    f"{ANOMALY_BASELINE_DAYS} days (RANGE frame ending at 1 PRECEDING, so "
+    "the tested day never contaminates its own baseline) and flagged "
+    f"when it deviates by more than {ANOMALY_SIGMA} sigma. Counts are "
+    "exact integers, so sum/sumsq window accumulations are "
+    "order-independent regardless of the engines' window-aggregation "
+    "internals (DuckDB segment trees vs Spark running frames); the "
+    "sigma test compares squared deviation against sigma^2 x variance — "
+    "no sqrt, every float derives from the same integer inputs through "
+    "token-identical expressions. Warm-up days with under "
+    f"{ANOMALY_MIN_HISTORY} baseline days are excluded rather than "
+    "judged on noise. At 100 TB the event stream collapses to "
+    "|types| x |days| rows in the first map-side-combined agg; the "
+    "window is over that tiny rollup.",
+    tags=("timeseries", "events", "window"),
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    trail = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-ANOMALY_BASELINE_DAYS, -1)
+    )
+    base = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count("n_events").over(trail).alias("n_prior"),
+        F.sum("n_events").over(trail).alias("sum_prior"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(trail).alias("sumsq_prior"),
+    )
+    mean = F.col("sum_prior").cast("double") / F.col("n_prior")
+    var = (
+        F.col("sumsq_prior").cast("double")
+        - F.col("sum_prior").cast("double") * F.col("sum_prior").cast("double") / F.col("n_prior")
+    ) / F.col("n_prior")
+    dev = F.col("n_events").cast("double") - mean
+    return base.filter(F.col("n_prior") >= ANOMALY_MIN_HISTORY).select(
+        "event_type",
+        "day",
+        "n_events",
+        "n_prior",
+        mean.alias("baseline_mean"),
+        var.alias("baseline_var"),
+        (dev * dev > F.lit(ANOMALY_SIGMA * ANOMALY_SIGMA) * var).alias("is_anomaly"),
+    )
