@@ -425,3 +425,59 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b").alias("doc_c"),
         )
     )
+
+
+@register(
+    "q_graph_khop",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT p1.c AS custkey,
+           COUNT(DISTINCT p1.s) AS n_suppliers,
+           COUNT(DISTINCT CASE WHEN p2.c <> p1.c THEN p2.c END)
+             AS n_2hop_customers
+    FROM pairs p1 JOIN pairs p2 ON p1.s = p2.s
+    GROUP BY p1.c
+    """,
+    doc="Two-hop neighborhood size per customer in the bipartite trade "
+    "graph (customer -[bought from]-> supplier): direct supplier count "
+    "and the number of OTHER customers reachable through a shared "
+    "supplier — the collaborative-filtering / influence-radius shape "
+    "(and the one-round unrolled form of BFS frontier expansion, "
+    "complementing q_pagerank's fixed-point iteration). One self-join "
+    "of the deduped edge list on the supplier key, then two distinct "
+    "aggregates per customer; the self-link (p2.c = p1.c) is excluded "
+    "inside the conditional distinct rather than by a join filter so "
+    "suppliers whose only customer is p1 still count toward "
+    "n_suppliers. At 100 TB: the edge list is orders-of-magnitude "
+    "smaller than the fact table (distinct collapses it first); the "
+    "supplier-keyed self-join is the skew point — popular suppliers "
+    "fan out quadratically — which AQE skew-join splitting or the "
+    "q_skew_join salting pattern bounds; hub capping (drop top-degree "
+    "suppliers, the q_dedup_minhash_stopshingle lever) is the "
+    "documented remedy when a hub's square genuinely cannot be "
+    "materialized.",
+    tags=("graph", "join"),
+)
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    p1 = pairs.alias("p1")
+    p2 = pairs.alias("p2")
+    return (
+        p1.join(p2, F.col("p1.s") == F.col("p2.s"))
+        .groupBy(F.col("p1.c").alias("custkey"))
+        .agg(
+            F.count_distinct(F.col("p1.s")).alias("n_suppliers"),
+            F.count_distinct(
+                F.when(F.col("p2.c") != F.col("p1.c"), F.col("p2.c"))
+            ).alias("n_2hop_customers"),
+        )
+    )

@@ -1349,3 +1349,161 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(
         materialize(doc_shingles(spark, sf_dir)), PREFIX_FILTER_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. sorted-neighborhood method + containment (excerpt) detection
+# ---------------------------------------------------------------------------
+
+#: SNM sliding-window width (each doc is paired with the next W docs in
+#: blocking-key order) and the block prefix that bounds the window shuffle.
+SNM_WINDOW = 3
+SNM_KEY_LEN = 40
+SNM_BLOCK_LEN = 8
+
+_SNM_KEY_SQL = (
+    f"substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, {SNM_KEY_LEN})"
+)
+
+
+@register(
+    "q_dedup_snm",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    keyed AS (
+        SELECT doc_id, {_SNM_KEY_SQL} AS k FROM documents
+    ), nb AS (
+        SELECT doc_id,
+               LEAD(doc_id, 1) OVER w AS n1,
+               LEAD(doc_id, 2) OVER w AS n2,
+               LEAD(doc_id, 3) OVER w AS n3
+        FROM keyed
+        WINDOW w AS (PARTITION BY substring(k, 1, {SNM_BLOCK_LEN})
+                     ORDER BY k, doc_id)
+    ), cand AS (
+        SELECT LEAST(doc_id, n) AS doc_a, GREATEST(doc_id, n) AS doc_b
+        FROM (SELECT doc_id, UNNEST([n1, n2, n3]) AS n FROM nb)
+        WHERE n IS NOT NULL
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE CAST(v.inter AS DOUBLE) / (sa.n + sb.n - v.inter)
+            >= {JACCARD_THRESHOLD}
+    """,
+    doc="Sorted-neighborhood dedup (Hernandez & Stolfo's SNM, the classic "
+    "entity-resolution blocking alternative to LSH): docs sort by a "
+    f"normalized {SNM_KEY_LEN}-char blocking key, each doc is paired with "
+    f"its next {SNM_WINDOW} neighbors in key order, and only those "
+    "candidates get exact Jaccard verification. The textbook method "
+    "needs one GLOBAL sort; the distributed variant here partitions the "
+    f"window by the key's {SNM_BLOCK_LEN}-char prefix, so the sort is a "
+    "block-keyed shuffle that parallelizes — cross-block neighbor pairs "
+    "are the documented trade (the standard remedy is multi-pass SNM "
+    "with independent keys, same plan shape per pass). Candidate count "
+    "is <= W x |docs| BY CONSTRUCTION — linear in the corpus, no "
+    "quadratic blow-up and no banding false-negative probability: a "
+    "deterministic complement to q_dedup_minhash. Verification reuses "
+    "the candidates-only in-row array_intersect path.",
+    tags=("dedup",),
+)
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, SNM_KEY_LEN
+    )
+    keyed = docs.select("doc_id", key.alias("k"))
+    w = W.partitionBy(F.substring(F.col("k"), 1, SNM_BLOCK_LEN)).orderBy("k", "doc_id")
+    nb = keyed.select(
+        "doc_id",
+        F.array(*[F.lead("doc_id", i).over(w) for i in range(1, SNM_WINDOW + 1)]).alias(
+            "nbrs"
+        ),
+    )
+    cand = (
+        nb.select("doc_id", F.explode("nbrs").alias("n"))
+        .filter(F.col("n").isNotNull())
+        .select(
+            F.least("doc_id", "n").alias("doc_a"),
+            F.greatest("doc_id", "n").alias("doc_b"),
+        )
+    )
+    shs = materialize(shingle_arrays(docs))
+    return verify_jaccard(cand, shs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+#: Overlap-coefficient threshold for excerpt/containment detection.
+OVERLAP_THRESHOLD = 0.8
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, sa.n AS n_a, sb.n AS n_b,
+           CAST(p.inter AS DOUBLE) / LEAST(sa.n, sb.n) AS overlap
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / LEAST(sa.n, sb.n) >= {OVERLAP_THRESHOLD}
+    """,
+    doc="Containment / overlap-coefficient near-dup detection "
+    "(Szymkiewicz-Simpson: |A n B| / min(|A|,|B|)): catches EXCERPT "
+    "duplicates — a short doc quoted inside a long one — which Jaccard "
+    "structurally misses (a 100-shingle doc fully contained in a "
+    "2000-shingle doc has Jaccard 0.05 but containment 1.0). This is "
+    "the deduplication measure for quote/boilerplate removal in "
+    "training corpora. Exact all-candidate baseline via the shared-"
+    "shingle join, same contract as q_dedup_ngram_jaccard — the twin "
+    "that adjudicates blocked scale paths; at 100 TB the same "
+    "prefix-filter or LSH blocking applies (order docs by size and "
+    "index the smaller side's prefix).",
+    tags=("dedup",),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = materialize(doc_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    overlap = F.col("inter").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            overlap.alias("overlap"),
+        )
+        .filter(F.col("overlap") >= OVERLAP_THRESHOLD)
+    )

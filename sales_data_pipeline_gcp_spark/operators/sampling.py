@@ -156,3 +156,83 @@ def _count_tokens(texts: pd.Series) -> pd.Series:
 def q_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", _count_tokens(F.col("text")).alias("n_tokens"))
+
+
+#: Systematic PPS: picks per stratum, and the Knuth multiplicative
+#: constant that deterministically permutes the sort order.
+PPS_PER_STRATUM = 20
+PPS_KNUTH = 2654435761
+PPS_MOD = 4294967296
+
+
+@register(
+    "q_sample_pps",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT o_orderpriority AS pri, o_orderkey,
+               (o_orderkey * {PPS_KNUTH}) % {PPS_MOD} AS perm,
+               CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) AS w
+        FROM orders
+    ), cum AS (
+        SELECT pri, o_orderkey, perm, w,
+               SUM(w) OVER (PARTITION BY pri ORDER BY perm, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumw,
+               SUM(w) OVER (PARTITION BY pri) AS total_w
+        FROM weighted
+    )
+    SELECT pri, o_orderkey, w,
+           CAST((cumw * {PPS_PER_STRATUM}) // total_w
+                - ((cumw - w) * {PPS_PER_STRATUM}) // total_w AS BIGINT)
+             AS n_units
+    FROM cum
+    WHERE (cumw * {PPS_PER_STRATUM}) // total_w
+            > ((cumw - w) * {PPS_PER_STRATUM}) // total_w
+    """,
+    doc="Systematic probability-proportional-to-size sampling per order "
+    f"priority ({PPS_PER_STRATUM} units per stratum): rows are laid out "
+    "in a DETERMINISTIC pseudo-random order (Knuth multiplicative "
+    "permutation of the order key — odd multiplier mod 2^32 is a "
+    "bijection, so no engine-specific hash enters the plan), integer "
+    "cent-weights accumulate along that order, and a row is selected "
+    "when its cumulative-weight interval contains one of the k evenly "
+    "spaced skip boundaries — the classic PPS design (inclusion "
+    "probability proportional to order value, large 'certainty units' "
+    "can absorb several boundaries, reported as n_units). Every "
+    "comparison is integer floor-division, so the sample is bit-"
+    "reproducible cross-engine — unlike weighted reservoir designs "
+    "(Efraimidis-Spirakis) whose u^(1/w) keys differ by ulps across "
+    "pow() implementations. At 100 TB: stratum-keyed window sort, "
+    "parallel across strata; cumw*k stays far under int64 up to "
+    "~10^14 cents per stratum, beyond which the accumulation column "
+    "switches to DECIMAL(38,0) with the same semantics.",
+    tags=("sampling",),
+)
+def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    o = load(spark, sf_dir, "orders")
+    weighted = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        ((F.col("o_orderkey") * PPS_KNUTH) % PPS_MOD).alias("perm"),
+        dec(F.col("o_totalprice") * 100, 0).cast("long").alias("w"),
+    )
+    wcum = W.partitionBy("pri").orderBy("perm", "o_orderkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wtot = W.partitionBy("pri")
+    cum = weighted.select(
+        "pri",
+        "o_orderkey",
+        "w",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wtot).alias("total_w"),
+    )
+    hi = F.expr(f"(cumw * {PPS_PER_STRATUM}) div total_w")
+    lo = F.expr(f"((cumw - w) * {PPS_PER_STRATUM}) div total_w")
+    return cum.filter(hi > lo).select(
+        "pri", "o_orderkey", "w", (hi - lo).alias("n_units")
+    )
