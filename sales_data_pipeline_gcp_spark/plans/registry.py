@@ -159,20 +159,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_minhash_stopshingle",
     "q_multimodal_decode",
     "q_stream_ingest",
+    # (e) round-5 continuation operators — never adjudicated, so they
+    # outrank re-refreshing round-2 greens (same rule as (d) above). The
+    # nine displaced round-2 names (q_join_salted, q_knn_join,
+    # q_multimodal_features, q_multimodal_framesample, q_null_safe_join,
+    # q_null_semantics, q_subquery_correlated, q_subquery_in,
+    # q_subquery_scalar) lead the round-6 rotation; all keep sf0.01
+    # oracle parity cover via tests/test_parity.py meanwhile.
+    "q_decayed_avg",
+    "q_timeseries_interpolate",
+    "q_events_anomaly",
+    "q_weighted_median",
+    "q_pareto_abc",
+    "q_dedup_snm",
+    "q_dedup_containment",
+    "q_graph_khop",
+    "q_sample_pps",
     # (d) round-2-latest greens:
-    "q_join_salted",
-    "q_knn_join",
     "q_merge_upsert",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_null_safe_join",
-    "q_null_semantics",
     "q_scan_csv_schema",
     "q_scan_json",
     "q_sketch_cms",
-    "q_subquery_correlated",
-    "q_subquery_in",
-    "q_subquery_scalar",
     "q_udf_vectorized",
 )
 

@@ -286,3 +286,79 @@ def test_prefix_filter_no_cartesian(spark, sf_dir):
     the theta work happens only in the row-level PPJoin filters."""
     plan = plan_str(QS["q_dedup_prefix_filter"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_decayed_avg_anchor_broadcast_and_partial_agg(spark, sf_dir):
+    """The global-max anchor is a 1-row broadcast (never a shuffle), and
+    the user-keyed weighted agg carries the partial/final pair."""
+    plan = plan_str(QS["q_decayed_avg"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+
+
+def test_interpolate_stream_collapses_before_windows(spark, sf_dir):
+    """The event stream must collapse in a partial-agg rollup before any
+    window runs; the calendar spine side arrives via broadcast."""
+    plan = plan_str(QS["q_timeseries_interpolate"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+
+
+def test_anomaly_window_runs_over_rollup_not_stream(spark, sf_dir):
+    """Daily rollup (partial+final agg) feeds ONE type-keyed window — the
+    trailing-baseline frame never sees the raw event stream."""
+    plan = plan_str(QS["q_events_anomaly"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_weighted_median_single_group_shuffle(spark, sf_dir):
+    """Cumulative and total windows plus the final agg all share the
+    l_returnflag partitioning — exactly one fact-side hash exchange."""
+    plan = plan_str(QS["q_weighted_median"].fn(spark, sf_dir))
+    assert len(re.findall(r"hashpartitioning\(l_returnflag", plan)) >= 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_pareto_window_runs_over_part_dimension(spark, sf_dir):
+    """The fact stream collapses in the per-part partial/final agg before
+    the dimension-sized ranking window (documented single-partition
+    tail) — never a global sort of lineitem."""
+    plan = plan_str(QS["q_pareto_abc"].fn(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+
+
+def test_snm_window_is_block_partitioned(spark, sf_dir):
+    """SNM's sliding window must partition by the block prefix — a global
+    (single-partition) neighbor window would serialize the corpus."""
+    plan = plan_str(QS["q_dedup_snm"].fn(spark, sf_dir))
+    assert re.search(r"Window.*lead", plan, re.I | re.S)
+    win_lines = [l for l in plan.splitlines() if "Arguments" in l and "lead" in l]
+    assert not any("SinglePartition" in l for l in win_lines)
+
+
+def test_containment_joins_on_shingle_key(spark, sf_dir):
+    """Candidate generation is an equi-join on the shingle value (plus
+    size lookups) — no cartesian anywhere."""
+    plan = plan_str(QS["q_dedup_containment"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_khop_self_join_is_supplier_keyed(spark, sf_dir):
+    """The 2-hop expansion is an equi self-join on the supplier key; the
+    distinct aggregates keep their partial/final split."""
+    plan = plan_str(QS["q_graph_khop"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+
+
+def test_pps_windows_share_stratum_shuffle(spark, sf_dir):
+    """Both cumulative and total windows run over the same stratum
+    partitioning — one exchange, never a global sort."""
+    plan = plan_str(QS["q_sample_pps"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "SinglePartition" not in plan
