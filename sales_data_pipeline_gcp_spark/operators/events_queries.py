@@ -444,3 +444,51 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1e2) * F.sum(dec(F.col("dt_ns"), 0)).cast("double"))
         ).alias("twap"),
     )
+
+
+@register(
+    "q_gaps_islands",
+    oracle=f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {_NS_PER_DAY} AS day
+        FROM events
+    ), grouped AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                 AS island
+        FROM active
+    )
+    SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+           COUNT(*) AS n_days
+    FROM grouped
+    GROUP BY user_id, island
+    """,
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE active days per "
+    "user — the calendar-granular streak/churn shape (complementing "
+    "q_sessionize's timestamp-gap sessions): distinct active days, the "
+    "classic day-minus-row_number island key (constant within a "
+    "consecutive run, strictly decreasing across gaps), then one agg "
+    "per island. Distinct days make row_number's tie behavior moot — "
+    "the whole pipeline is exact integers. The island key never leaves "
+    "the plan (it is only a GROUP BY column), so the output is stable "
+    "across engines. At 100 TB: the event stream collapses to "
+    "user x day in the first map-side-combined distinct; the window "
+    "and final agg share the user-keyed shuffle.",
+    tags=("events", "window"),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.expr(f"ts div {_NS_PER_DAY}").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = active.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    return grouped.groupBy("user_id", "island").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").alias("n_days"),
+    ).drop("island")

@@ -605,3 +605,270 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "q_ab_ttest",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type,
+               user_id % 2 AS arm,
+               CAST(value * 100 AS DECIMAL(38,0)) AS v_c,
+               CAST((value * 100) * (value * 100) AS DECIMAL(38,0)) AS v_c2
+        FROM events
+    ), moments AS (
+        SELECT event_type,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+               CAST(SUM(CASE WHEN arm = 0 THEN v_c END) AS DOUBLE) / 1e2 AS sx_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN v_c END) AS DOUBLE) / 1e2 AS sx_b,
+               CAST(SUM(CASE WHEN arm = 0 THEN v_c2 END) AS DOUBLE) / 1e4 AS sxx_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN v_c2 END) AS DOUBLE) / 1e4 AS sxx_b
+        FROM assigned
+        GROUP BY event_type
+    ), stats AS (
+        SELECT event_type, n_a, n_b,
+               sx_a / n_a AS mean_a,
+               sx_b / n_b AS mean_b,
+               (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) AS var_a,
+               (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) AS var_b
+        FROM moments
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           (mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b) AS t_stat,
+           (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS welch_dof
+    FROM stats
+    """,
+    doc="Welch two-sample t-test per event type — the A/B-experiment "
+    "readout: deterministic treatment assignment (user_id parity, the "
+    "hash-bucket split every experimentation platform uses), per-arm "
+    "mean and sample variance from decimal-exact integer-cent moments "
+    "accumulated in ONE conditional-aggregation pass (no join, no "
+    "second scan), then the Welch t statistic and Satterthwaite "
+    "degrees of freedom. SQRT is IEEE-correctly-rounded, so identical "
+    "inputs give identical statistics cross-engine; the p-value lookup "
+    "(an incomplete-beta CDF) is deliberately left to the caller — "
+    "transcendental CDFs differ by ulps across math libraries. At "
+    "100 TB: a single map-side-combined agg keyed by event_type; "
+    "nothing else moves.",
+    tags=("stats", "agg"),
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v_c = dec(F.col("value") * 100, 0)
+    v_c2 = dec((F.col("value") * 100) * (F.col("value") * 100), 0)
+    arm = F.col("user_id") % 2
+    assigned = ev.select(
+        "event_type", arm.alias("arm"), v_c.alias("v_c"), v_c2.alias("v_c2")
+    )
+    a0 = F.col("arm") == 0
+    a1 = F.col("arm") == 1
+    moments = assigned.groupBy("event_type").agg(
+        F.sum(F.when(a0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(a1, 1).otherwise(0)).alias("n_b"),
+        (F.sum(F.when(a0, F.col("v_c"))).cast("double") / 1e2).alias("sx_a"),
+        (F.sum(F.when(a1, F.col("v_c"))).cast("double") / 1e2).alias("sx_b"),
+        (F.sum(F.when(a0, F.col("v_c2"))).cast("double") / 1e4).alias("sxx_a"),
+        (F.sum(F.when(a1, F.col("v_c2"))).cast("double") / 1e4).alias("sxx_b"),
+    )
+    mean_a = F.col("sx_a") / F.col("n_a")
+    mean_b = F.col("sx_b") / F.col("n_b")
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    stats = moments.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)).alias("t_stat"),
+        (
+            (se_a + se_b) * (se_a + se_b)
+            / (se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1))
+        ).alias("welch_dof"),
+    )
+
+
+#: Winsorization cut ranks: clamp below the p5 and above the p95 DISCRETE
+#: percentiles (actual data values, so clamped values stay exact cents).
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@register(
+    "q_winsorized_mean",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), cuts AS (
+        SELECT l_returnflag,
+               MIN(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100
+                        THEN price END) AS lo,
+               MIN(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100
+                        THEN price END) AS hi
+        FROM ranked GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag, MIN(c.lo) AS lo_cut, MIN(c.hi) AS hi_cut,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(LEAST(GREATEST(r.price, c.lo), c.hi) * 100
+                         AS DECIMAL(38,0))) AS DOUBLE) / (1e2 * COUNT(*))
+             AS winsorized_mean
+    FROM ranked r JOIN cuts c ON r.l_returnflag = c.l_returnflag
+    GROUP BY r.l_returnflag
+    """,
+    doc="Winsorized mean price per return flag — the robust-mean "
+    "companion to q_outlier_mad: values are clamped to the p5/p95 "
+    "DISCRETE percentiles before averaging. Discrete (value-from-the-"
+    "set) cuts are chosen deliberately: the cut ranks are pure integer "
+    "arithmetic ((p*n+99)//100, no float percentile math) and the "
+    "clamped values stay exact 2-decimal cents, so the final mean "
+    "accumulates as scale-0 decimals — every engine-visible number is "
+    "exact until the single closing division. Value-at-rank is "
+    "invariant under tie permutations, so the unordered tie-break of "
+    "the row_number is harmless. At 100 TB: one group-keyed window "
+    "sort (same cost class as any per-group exact quantile — the "
+    "approx_percentile sketch is the documented heavy-group fallback), "
+    "then the group-sized cut table broadcasts back onto the stream.",
+    tags=("stats", "agg", "window"),
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    wrn = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.row_number().over(wrn).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo_rank = F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100")
+    hi_rank = F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100")
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("price"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("price"))).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("lo").alias("lo_cut"),
+            F.min("hi").alias("hi_cut"),
+            F.count("*").alias("n"),
+            (
+                F.sum(dec(clamped * 100, 0)).cast("double") / (F.lit(1e2) * F.count("*"))
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+#: Association-rule gate: a part pair must co-occur in at least this many
+#: orders to be reported.
+BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "q_basket_lift",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ), item_support AS (
+        SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY l_partkey
+    ), pair_support AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           sa.n_item AS n_a, sb.n_item AS n_b,
+           CAST(p.n_both AS DOUBLE) / sa.n_item AS confidence_a_to_b,
+           CAST(p.n_both AS DOUBLE) * o.n / (sa.n_item * sb.n_item) AS lift
+    FROM pair_support p
+    JOIN item_support sa ON p.part_a = sa.l_partkey
+    JOIN item_support sb ON p.part_b = sb.l_partkey
+    CROSS JOIN n_orders o
+    """,
+    doc="Market-basket association rules (support / confidence / lift) "
+    "over order baskets — the co-occurrence mining shape behind "
+    "recommenders and template detection: distinct (order, part) "
+    "baskets, pair candidates from an order-keyed self-join (pairs per "
+    "order are k(k-1)/2 for basket size k — bounded and small, never a "
+    "corpus cross product), integer supports, and lift = "
+    "P(a,b)/(P(a)P(b)) as a single double expression over exact "
+    "counts. The min-support HAVING prunes the pair stream before any "
+    "dimension join; item supports are part-dimension-sized and "
+    "broadcast. At 100 TB: the self-join shuffles baskets once on the "
+    "order key (uniform); a pathological mega-basket would square — "
+    "cap basket size upstream (same hub-cap lever as q_graph_khop).",
+    tags=("stats", "join"),
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(F.count_distinct("l_orderkey").alias("n"))
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    sa = item.alias("sa")
+    sb = item.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("part_a") == F.col("sa.l_partkey"))
+        .join(F.broadcast(sb), F.col("part_b") == F.col("sb.l_partkey"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.col("sa.n_item").alias("n_a"),
+            F.col("sb.n_item").alias("n_b"),
+            (F.col("n_both").cast("double") / F.col("sa.n_item")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("n_both").cast("double") * F.col("n")
+                / (F.col("sa.n_item") * F.col("sb.n_item"))
+            ).alias("lift"),
+        )
+    )

@@ -175,12 +175,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_containment",
     "q_graph_khop",
     "q_sample_pps",
-    # (d) round-2-latest greens:
-    "q_merge_upsert",
+    "q_ab_ttest",
+    "q_winsorized_mean",
+    "q_basket_lift",
+    "q_gaps_islands",
+    # (d) round-2-latest green kept as the §2.1 source-parity
+    # representative (q_merge_upsert, q_scan_json, q_sketch_cms,
+    # q_udf_vectorized ceded their slots to (e) and join the displaced
+    # round-2 list leading round 6):
     "q_scan_csv_schema",
-    "q_scan_json",
-    "q_sketch_cms",
-    "q_udf_vectorized",
 )
 
 

@@ -362,3 +362,36 @@ def test_pps_windows_share_stratum_shuffle(spark, sf_dir):
     plan = plan_str(QS["q_sample_pps"].fn(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "SinglePartition" not in plan
+
+
+def test_ab_ttest_single_pass_no_join(spark, sf_dir):
+    """Both arms' moments come from ONE conditional-agg pass — the plan
+    must contain no join and exactly one partial/final agg pair."""
+    plan = plan_str(QS["q_ab_ttest"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+
+
+def test_winsorized_cuts_broadcast_back(spark, sf_dir):
+    """The group-sized cut table reaches the ranked stream via broadcast;
+    the stream itself shuffles once for the rank window."""
+    plan = plan_str(QS["q_winsorized_mean"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_basket_supports_broadcast_min_support_prunes(spark, sf_dir):
+    """Item supports and the order count are broadcast; pair candidates
+    come from an order-keyed equi self-join, never a cartesian."""
+    plan = plan_str(QS["q_basket_lift"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_gaps_islands_single_user_shuffle(spark, sf_dir):
+    """Distinct, window, and island agg all share the user-keyed
+    partitioning lineage — the raw stream shuffles at most twice and
+    never into a single partition."""
+    plan = plan_str(QS["q_gaps_islands"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
