@@ -492,3 +492,54 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("end_day"),
         F.count("*").alias("n_days"),
     ).drop("island")
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+               o_totalprice
+        FROM orders
+    ), cohorts AS (
+        SELECT o_custkey, MIN(ym) AS cohort_ym FROM om GROUP BY o_custkey
+    )
+    SELECT c.cohort_ym,
+           o.ym - c.cohort_ym AS month_offset,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS revenue
+    FROM om o JOIN cohorts c ON o.o_custkey = c.o_custkey
+    GROUP BY c.cohort_ym, o.ym - c.cohort_ym
+    """,
+    doc="Cohort lifetime-value matrix over ORDERS (the revenue twin of "
+    "q_events_retention's activity matrix): customers grouped by "
+    "first-order month, each later month-offset accumulating distinct "
+    "buyers, order counts, and decimal-exact revenue. Month keys are "
+    "integer year*12+month arithmetic — no date subtraction "
+    "round-off, no interval types whose semantics differ across "
+    "engines. The aggregate-then-join shape shuffles one row per "
+    "customer for the cohort table, joins customer-keyed, and the "
+    "matrix is |cohorts| x |offsets| — tiny. The LTV curve that "
+    "prices acquisition spend. At 100 TB: two customer-keyed "
+    "shuffles, both map-side combined.",
+    tags=("events", "agg"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    o = load(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    om = o.select("o_custkey", ym, "o_totalprice")
+    cohorts = om.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        om.join(cohorts, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset"))
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice", 2)).cast("double").alias("revenue"),
+        )
+    )

@@ -810,3 +810,41 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.ntile(NTILE_N).over(w).cast("int").alias("balance_quartile"),
     )
+
+
+#: Keep customers at or above this cumulative-distribution cut of account
+#: balance within their nation.
+CUMEDIST_CUT = 0.9
+
+
+@register(
+    "q_window_cumedist",
+    oracle=f"""
+    WITH scored AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CUME_DIST() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal) AS cd
+        FROM customer
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal, cd
+    FROM scored WHERE cd >= {CUMEDIST_CUT}
+    """,
+    doc="CUME_DIST top-decile filter: customers in the top 10% of "
+    "account balance WITHIN their nation — the percentile-rank "
+    "segmentation shape (completes the ranking-window vocabulary "
+    "alongside rank/percent_rank/ntile). cume_dist is "
+    "ties-deterministic by definition (every peer of a value shares "
+    "count(<= value)/n — a ratio of integers, bit-identical "
+    "cross-engine), so unlike ntile no tie-break column is needed. "
+    "One nation-keyed window shuffle over the customer dimension.",
+    tags=("window",),
+)
+def q_window_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    scored = c.select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.cume_dist().over(w).alias("cd")
+    )
+    return scored.filter(F.col("cd") >= CUMEDIST_CUT)

@@ -289,3 +289,90 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("baseline_var"),
         (dev * dev > F.lit(ANOMALY_SIGMA * ANOMALY_SIGMA) * var).alias("is_anomaly"),
     )
+
+
+#: Rolling-correlation window (trailing days, inclusive) over the daily
+#: view/purchase volume series.
+ROLLCORR_DAYS = 14
+
+
+@register(
+    "q_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_ns(ts) // {_NS_PER_DAY} AS day,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events
+        GROUP BY epoch_ns(ts) // {_NS_PER_DAY}
+    ), sums AS (
+        SELECT day, x, y,
+               COUNT(*) OVER trail AS n,
+               SUM(x) OVER trail AS sx,  SUM(y) OVER trail AS sy,
+               SUM(x * x) OVER trail AS sxx, SUM(y * y) OVER trail AS syy,
+               SUM(x * y) OVER trail AS sxy
+        FROM daily
+        WINDOW trail AS (ORDER BY day RANGE BETWEEN {ROLLCORR_DAYS - 1}
+                         PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(x AS BIGINT) AS views, CAST(y AS BIGINT) AS purchases,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           END AS rolling_corr
+    FROM sums
+    """,
+    doc="Rolling Pearson correlation between two series — trailing "
+    f"{ROLLCORR_DAYS}-day correlation of daily view volume vs purchase "
+    "volume, the lead-indicator diagnostic a growth team watches. All "
+    "six window accumulations (n, sums, squares, cross product) are "
+    "exact integers over a RANGE frame (calendar-aware: absent days "
+    "shrink the frame rather than silently stretching it), the "
+    "zero-variance guard is an INTEGER comparison (so no NaN ever "
+    "reaches the output — NaN is the one value whose cross-engine "
+    "comparison semantics are unreliable), and the closing expression "
+    "is token-identical IEEE arithmetic. The daily rollup collapses "
+    "the stream first; the window runs over |days| rows. The "
+    "single-series global ORDER BY is dimension-bounded (one row per "
+    "day) — at 100 TB of events it is still a few thousand rows.",
+    tags=("timeseries", "events", "window", "stats"),
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    daily = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        )
+    )
+    trail = W.orderBy("day").rangeBetween(-(ROLLCORR_DAYS - 1), 0)
+    sums = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count("*").over(trail).alias("n"),
+        F.sum("x").over(trail).alias("sx"),
+        F.sum("y").over(trail).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(trail).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(trail).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(trail).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    guard = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0) & (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0
+    )
+    return sums.select(
+        "day",
+        F.col("x").cast("bigint").alias("views"),
+        F.col("y").cast("bigint").alias("purchases"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(guard, cov / (F.sqrt(varx) * F.sqrt(vary))).alias("rolling_corr"),
+    )

@@ -179,11 +179,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_winsorized_mean",
     "q_basket_lift",
     "q_gaps_islands",
-    # (d) round-2-latest green kept as the §2.1 source-parity
-    # representative (q_merge_upsert, q_scan_json, q_sketch_cms,
-    # q_udf_vectorized ceded their slots to (e) and join the displaced
-    # round-2 list leading round 6):
-    "q_scan_csv_schema",
+    "q_rolling_corr",
+    # (d) is empty this round: every round-2 re-refresh slot
+    # (q_merge_upsert, q_scan_json, q_scan_csv_schema, q_sketch_cms,
+    # q_udf_vectorized, plus the nine listed above) ceded to
+    # never-adjudicated operators; the displaced names plus the two
+    # continuation queries that did not fit (q_cohort_ltv,
+    # q_window_cumedist) lead the round-6 rotation. All keep sf0.01
+    # oracle parity cover via tests/test_parity.py meanwhile.
 )
 
 

@@ -395,3 +395,29 @@ def test_gaps_islands_single_user_shuffle(spark, sf_dir):
     plan = plan_str(QS["q_gaps_islands"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_rolling_corr_window_over_daily_rollup(spark, sf_dir):
+    """All six trailing accumulations share one window over the daily
+    rollup; the raw stream collapses in a partial/final agg first."""
+    plan = plan_str(QS["q_rolling_corr"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_cohort_ltv_aggregate_then_join(spark, sf_dir):
+    """The cohort table is an aggregate (one row per customer) joined
+    back customer-keyed — never a window over the raw order stream."""
+    plan = plan_str(QS["q_cohort_ltv"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+
+
+def test_cumedist_single_nation_shuffle(spark, sf_dir):
+    """One nation-keyed window exchange; the filter runs post-window (a
+    cume_dist cut cannot be pushed) but the scan reads only the three
+    referenced columns."""
+    plan = plan_str(QS["q_window_cumedist"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_name" not in read_schema and "c_mktsegment" not in read_schema
