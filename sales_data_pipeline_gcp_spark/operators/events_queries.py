@@ -543,3 +543,59 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice", 2)).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "q_cumulative_users",
+    oracle=f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {_NS_PER_DAY} AS day
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(day) AS first_day FROM activity GROUP BY user_id
+    ), new_by_day AS (
+        SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY first_day
+    ), active_by_day AS (
+        SELECT day, COUNT(*) AS n_active FROM activity GROUP BY day
+    )
+    SELECT a.day,
+           COALESCE(n.n_new, 0) AS n_new_users,
+           a.n_active AS n_active_users,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM active_by_day a LEFT JOIN new_by_day n ON a.day = n.day
+    """,
+    doc="User-growth curve: per day, newly-seen users (first-activity "
+    "day), distinct active users, and the cumulative registered-user "
+    "count — the DAU/total trajectory every growth dashboard opens "
+    "with. The stream collapses to user x day in one distinct; firsts "
+    "are a user-keyed agg; the cumulative sum is exact integers over "
+    "the |days|-row series (dimension-bounded global window, same "
+    "posture as q_rolling_corr). Every number is an integer until the "
+    "caller divides. At 100 TB: two map-side-combined aggs, one tiny "
+    "window.",
+    tags=("events", "window", "agg"),
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.expr(f"ts div {_NS_PER_DAY}").alias("day")
+    ).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_by_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    active_by_day = activity.groupBy("day").agg(F.count("*").alias("n_active"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        active_by_day.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).alias("n_new_users"),
+            F.col("n_active").alias("n_active_users"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_users"),
+        )
+    )

@@ -872,3 +872,125 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d) as FIXED literals —
+#: hardcoded (not computed) so no engine ever evaluates a transcendental;
+#: both engines parse the identical decimal token to the identical double.
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in BENFORD_EXPECTED.items()
+) + " END"
+
+
+@register(
+    "q_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(CAST(o_totalprice * 100
+                     AS DECIMAL(38,0)) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                 AS digit
+        FROM orders
+    ), counts AS (
+        SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+           {_BENFORD_CASE_SQL} AS expected_share,
+           CAST(n AS DOUBLE) / SUM(n) OVER () - ({_BENFORD_CASE_SQL})
+             AS deviation
+    FROM counts
+    """,
+    doc="Benford first-digit audit over order totals — the classic "
+    "fabricated-data / pipeline-corruption screen: first significant "
+    "digit extracted through exact integer-cents string arithmetic "
+    "(never log10, whose libm rounding varies), observed shares as "
+    "count ratios, and the Benford expectation log10(1+1/d) hardcoded "
+    "as nine literal doubles so both engines parse the identical token "
+    "— no transcendental is ever EVALUATED in either engine. The "
+    "SUM() OVER () total runs over nine rows. One map-side-combined "
+    "digit agg; at 100 TB nothing but the scan grows.",
+    tags=("stats", "agg"),
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        dec(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    expected = F.lit(None).cast("double")
+    for d, v in BENFORD_EXPECTED.items():
+        expected = F.when(F.col("digit") == d, F.lit(v)).otherwise(expected)
+    share = F.col("n").cast("double") / F.sum("n").over(W.partitionBy())
+    return counts.select(
+        "digit",
+        "n",
+        share.alias("share"),
+        expected.alias("expected_share"),
+        (share - expected).alias("deviation"),
+    )
+
+
+@register(
+    "q_dq_linenumbers",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               MIN(l_linenumber) AS min_ln,
+               MAX(l_linenumber) AS max_ln,
+               COUNT(DISTINCT l_linenumber) AS n_distinct
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN min_ln = 1 AND max_ln = n_lines
+                          AND n_distinct = n_lines THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_conforming
+    FROM per_order
+    GROUP BY n_lines
+    """,
+    doc="Positional-integrity profile: per basket size, how many orders "
+    "carry a CONFORMING line-number sequence (1..n, dense, duplicate-"
+    "free) — the referential/ordinal data-quality check a warehouse "
+    "runs after every backfill (complements q_dq_profile's column-"
+    "level nulls/ranges with row-set-level structure). Two exact "
+    "integer aggregations: order-keyed stats, then a tiny basket-size "
+    "rollup; a clean fixture reports 100% conformance, a corrupted "
+    "ingest shows up as n_conforming < n_orders in the affected "
+    "sizes. At 100 TB: one map-side-combined order-keyed agg (the "
+    "distinct is per-order-local), then a 7-row rollup.",
+    tags=("stats", "agg"),
+)
+def q_dq_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.count_distinct("l_linenumber").alias("n_distinct"),
+    )
+    conforming = (
+        (F.col("min_ln") == 1)
+        & (F.col("max_ln") == F.col("n_lines"))
+        & (F.col("n_distinct") == F.col("n_lines"))
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(conforming, 1).otherwise(0)).alias("n_conforming"),
+    )

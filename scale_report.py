@@ -51,6 +51,14 @@ QUERIES = [
     "q_pagerank",             # 3 Pregel-class rounds over the trade graph
     "q_join_interval",        # week-bucketed overlap equi-join
     "q_sim_pq_adc",           # in-row PQ encode + ADC top-k
+    # round-5 continuation: the candidate-bounded SNM window dedup and the
+    # quadratic-per-basket pair mining (both must stay ~linear), the
+    # supplier-keyed 2-hop self-join (the skew-watch entry), and the
+    # per-group exact-quantile winsorization window
+    "q_dedup_snm",            # block-partitioned sliding-window candidates
+    "q_basket_lift",          # order-keyed pair mining + broadcast supports
+    "q_graph_khop",           # supplier-keyed self-join fan-out
+    "q_winsorized_mean",      # rank window + broadcast cut table
 ]
 
 

@@ -421,3 +421,26 @@ def test_cumedist_single_nation_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "c_name" not in read_schema and "c_mktsegment" not in read_schema
+
+
+def test_benford_digit_agg_combines_map_side(spark, sf_dir):
+    """The digit histogram is a partial/final agg pair; the nine-row
+    share window is the only post-agg work."""
+    plan = plan_str(QS["q_benford_digits"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_dq_linenumbers_two_agg_levels(spark, sf_dir):
+    """Order-keyed stats then the basket-size rollup — both map-side
+    combined, the per-order distinct never becomes a global Expand."""
+    plan = plan_str(QS["q_dq_linenumbers"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+
+
+def test_cumulative_users_stream_collapses_first(spark, sf_dir):
+    """The raw stream collapses in the user x day distinct before any
+    join or window; the cumulative window runs over the day series."""
+    plan = plan_str(QS["q_cumulative_users"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
