@@ -202,3 +202,115 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_event_id").alias("next_purchase"),
         F.expr(f"(purchase_tns - tns) div {NS_PER_SECOND}").alias("wait_sec"),
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tns
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, epoch_ns(ts) AS tns, MAX(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_ns(ts)
+    ), bwd AS (
+        SELECT p.event_id, p.user_id, p.tns,
+               v.view_event_id AS b_view, v.tns AS b_tns
+        FROM purchases p ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND p.tns >= v.tns
+    ), twoway AS (
+        SELECT b.event_id, b.user_id, b.tns, b.b_view, b.b_tns,
+               v.view_event_id AS f_view, v.tns AS f_tns
+        FROM bwd b ASOF LEFT JOIN views v
+          ON b.user_id = v.user_id AND b.tns <= v.tns
+    )
+    SELECT event_id, user_id,
+           tns // {NS_PER_SECOND} AS purchase_sec,
+           CASE
+             WHEN b_view IS NOT NULL AND (f_view IS NULL
+                  OR tns - b_tns <= f_tns - tns) THEN b_view
+             ELSE f_view
+           END AS nearest_view,
+           CASE
+             WHEN b_view IS NOT NULL AND (f_view IS NULL
+                  OR tns - b_tns <= f_tns - tns)
+               THEN (tns - b_tns) // {NS_PER_SECOND}
+             WHEN f_view IS NOT NULL THEN (tns - f_tns) // {NS_PER_SECOND}
+           END AS signed_gap_sec,
+           CASE
+             WHEN b_view IS NOT NULL AND (f_view IS NULL
+                  OR tns - b_tns <= f_tns - tns) THEN 'backward'
+             WHEN f_view IS NOT NULL THEN 'forward'
+           END AS direction
+    FROM twoway
+    """,
+    doc="Nearest-direction as-of join (pandas merge_asof "
+    "direction='nearest'): for every purchase, the view event closest "
+    "in time in EITHER direction, ties preferring the earlier "
+    "(backward) match — the sensor-alignment semantics time-series "
+    "stores ship natively. Composed from the backward and forward "
+    "union+window passes of operators/asof.py (each one shuffle on the "
+    "join key) and a pure-integer nanosecond-distance pick, so the "
+    "choice is exact — no float time math. The oracle runs DuckDB's "
+    "native ASOF twice (>= and <=) with the identical integer pick: "
+    "independent implementations, same row-atomic semantics. At "
+    "100 TB: two key-partitioned windows over the unioned stream — "
+    "same cost class as running q_join_asof twice; the pick is "
+    "narrow.",
+    tags=("join", "asof"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("tns")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vtns"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    bwd = asof_join(
+        purchases,
+        views.select(
+            "user_id",
+            F.col("view_event_id").alias("b_view"),
+            F.col("vtns").alias("b_tns"),
+        ).withColumn("__rt", F.col("b_tns")),
+        on="user_id",
+        left_time="tns",
+        right_time="__rt",
+        right_cols=["b_view", "b_tns"],
+        direction="backward",
+    )
+    both = asof_join(
+        bwd,
+        views.select(
+            "user_id",
+            F.col("view_event_id").alias("f_view"),
+            F.col("vtns").alias("f_tns"),
+        ).withColumn("__rt", F.col("f_tns")),
+        on="user_id",
+        left_time="tns",
+        right_time="__rt",
+        right_cols=["f_view", "f_tns"],
+        direction="forward",
+    )
+    prefer_b = F.col("b_view").isNotNull() & (
+        F.col("f_view").isNull()
+        | (F.col("tns") - F.col("b_tns") <= F.col("f_tns") - F.col("tns"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.expr(f"tns div {NS_PER_SECOND}").alias("purchase_sec"),
+        F.when(prefer_b, F.col("b_view")).otherwise(F.col("f_view")).alias(
+            "nearest_view"
+        ),
+        F.when(prefer_b, F.expr(f"(tns - b_tns) div {NS_PER_SECOND}"))
+        .when(F.col("f_view").isNotNull(), F.expr(f"(tns - f_tns) div {NS_PER_SECOND}"))
+        .alias("signed_gap_sec"),
+        F.when(prefer_b, F.lit("backward"))
+        .when(F.col("f_view").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+    )

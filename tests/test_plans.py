@@ -444,3 +444,12 @@ def test_cumulative_users_stream_collapses_first(spark, sf_dir):
     plan = plan_str(QS["q_cumulative_users"].fn(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_asof_nearest_two_windows_no_python(spark, sf_dir):
+    """Nearest-direction as-of composes exactly two key-partitioned
+    window passes (backward + forward) — no Python, no cartesian."""
+    plan = plan_str(QS["q_join_asof_nearest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
