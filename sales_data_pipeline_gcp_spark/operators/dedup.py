@@ -1479,8 +1479,12 @@ OVERLAP_THRESHOLD = 0.8
     tags=("dedup",),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = materialize(doc_shingles(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # checkpoint the DOC-granular array table (policy: never the exploded
+    # occurrence stream); sizes come from size() in-row and the exploded
+    # join sides are narrow re-derivations of the same checkpoint
+    shs = materialize(shingle_arrays(fan_out(load(spark, sf_dir, "documents"))))
+    sh = shs.select("doc_id", F.explode("shs").alias("shingle"))
+    sizes = shs.select("doc_id", F.size("shs").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
