@@ -599,3 +599,114 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_users"),
         )
     )
+
+
+#: Event-path mining: first K events per user, top N paths.
+PATH_MAX_EVENTS = 12
+PATH_TOP_N = 20
+
+
+@register(
+    "q_event_paths",
+    oracle=f"""
+    WITH paths AS (
+        SELECT user_id,
+               array_to_string(
+                   (list(event_type ORDER BY epoch_ns(ts), event_id))
+                     [1:{PATH_MAX_EVENTS}], '>') AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {PATH_TOP_N}
+    """,
+    doc="Behavioral path mining — the top event sequences users follow: "
+    f"each user's first {PATH_MAX_EVENTS} events in (time, event_id) "
+    "total order joined into a path string, then the "
+    f"{PATH_TOP_N} most common paths (count-desc, path-asc total "
+    "order). The per-user sequence is built by sorting the COLLECTED "
+    "struct array in-row (array_sort on (ts, event_id, type) structs — "
+    "deterministic under same-timestamp events), truncated to a "
+    "bounded prefix so the agg buffer is O(K) per user regardless of "
+    "history length — the cap is what makes the shape safe at 100 TB, "
+    "where per-user event counts are unbounded. One user-keyed "
+    "shuffle, one path-keyed shuffle, TakeOrderedAndProject for the "
+    "top-N (never a global sort).",
+    tags=("events", "agg"),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sorted_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(F.slice(sorted_types, 1, PATH_MAX_EVENTS), ">").alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    return counted.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(
+        PATH_TOP_N
+    )
+
+
+#: Rolling-distinct window in days (trailing, inclusive).
+ROLLING_DISTINCT_DAYS = 7
+
+
+@register(
+    "q_rolling_distinct_users",
+    oracle=f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {_NS_PER_DAY} AS day
+        FROM events
+    ), bounds AS (SELECT MAX(day) AS dmax FROM activity),
+    covered AS (
+        SELECT a.user_id, gs.report_day
+        FROM activity a
+        CROSS JOIN bounds b,
+        UNNEST(generate_series(a.day,
+                               LEAST(a.day + {ROLLING_DISTINCT_DAYS - 1},
+                                     b.dmax))) AS t(report_day)
+    )
+    SELECT report_day AS day,
+           COUNT(DISTINCT user_id) AS n_users_7d
+    FROM covered
+    GROUP BY report_day
+    """,
+    doc="Trailing 7-day distinct active users per day (the rolling-MAU "
+    "family): COUNT(DISTINCT) is not window-decomposable, so the "
+    "standard distributed shape is BOUNDED REPLICATION — each "
+    "(user, day) activity row is exploded to the <= 7 report days it "
+    "covers (clipped at the series end), then one distinct count per "
+    "report day. Replication factor = window/granularity = 7, fixed "
+    "and small; the activity table it replicates is already collapsed "
+    "to user x day. This trades a 7x narrow map against the "
+    "unbounded state a naive per-day set union would carry — the "
+    "textbook sliding-distinct plan at warehouse scale. All integers; "
+    "the clip bound (global max day) is a broadcast scalar.",
+    tags=("events", "agg", "window"),
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.expr(f"ts div {_NS_PER_DAY}").alias("day")
+    ).distinct()
+    bounds = activity.agg(F.max("day").alias("dmax"))
+    covered = (
+        activity.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(
+                        F.col("day") + (ROLLING_DISTINCT_DAYS - 1), F.col("dmax")
+                    ),
+                )
+            ).alias("day"),
+        )
+    )
+    return covered.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_users_7d")
+    )

@@ -848,3 +848,52 @@ def q_window_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", "c_acctbal", F.cume_dist().over(w).alias("cd")
     )
     return scored.filter(F.col("cd") >= CUMEDIST_CUT)
+
+
+@register(
+    "q_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 // 7 AS week,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT week, n_orders, revenue,
+           LAG(revenue) OVER (ORDER BY week) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY week))
+             / LAG(revenue) OVER (ORDER BY week) AS wow_growth
+    FROM weekly
+    """,
+    doc="Week-over-week revenue growth — the period-over-period reporting "
+    "shape: weekly rollup on an INTEGER epoch-week key "
+    "(days-since-epoch // 7: no date_trunc, whose week-start and "
+    "timezone conventions differ across engines), decimal-exact weekly "
+    "revenue, then LAG and a growth ratio over the dimension-bounded "
+    "week series. The first week's growth is NULL by definition. The "
+    "fact stream collapses in the map-side-combined weekly agg; the "
+    "window runs over |weeks| rows.",
+    tags=("window", "agg"),
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    o = load(spark, sf_dir, "orders")
+    week = F.expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7")
+    weekly = o.groupBy(week.alias("week")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice", 2)).cast("double").alias("revenue"),
+    )
+    w = W.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("wow_growth"),
+    )

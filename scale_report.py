@@ -62,21 +62,40 @@ QUERIES = [
 ]
 
 
+def _measure(spark, fn, sf: str) -> float:
+    """Median-of-3 steady-state runs with bench.py's measurement hygiene:
+    gc between queries (drops Python refs to localCheckpoint RDDs so the
+    ContextCleaner can evict their blocks — accumulated checkpoint blocks
+    from 25 earlier queries otherwise bill a later query's timing with
+    eviction/GC storms: observed 2.9s -> 11.8s on the stop-shingle row)
+    and adaptive re-measure on a >3x intra-query spread, because
+    median-of-3 cannot outvote two polluted runs."""
+    import gc
+
+    fn(spark, sf).write.format("noop").mode("overwrite").save()  # warm
+    samples = []
+    for _ in range(3):  # median-of-3: ratios are noise-sensitive
+        t0 = time.perf_counter()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    while len(samples) < 6 and max(samples) > 3 * min(samples):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        t0 = time.perf_counter()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    gc.collect()
+    return statistics.median(samples)
+
+
 def main() -> None:
     spark = get_spark("scale_report")
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | x(0.01/0.001) | x(0.1/0.01) |")
     print("|---|---|---|---|---|---|")
     for name in QUERIES:
         fn = registry.all_queries()[name].fn
-        times = []
-        for sf in SFS:
-            fn(spark, sf).write.format("noop").mode("overwrite").save()  # warm
-            samples = []
-            for _ in range(3):  # median-of-3: ratios are noise-sensitive
-                t0 = time.perf_counter()
-                fn(spark, sf).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-            times.append(statistics.median(samples))
+        times = [_measure(spark, fn, sf) for sf in SFS]
         r1 = times[1] / times[0]
         r2 = times[2] / times[1]
         print(
