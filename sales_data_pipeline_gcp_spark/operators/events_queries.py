@@ -662,12 +662,11 @@ ROLLING_DISTINCT_DAYS = 7
         FROM events
     ), bounds AS (SELECT MAX(day) AS dmax FROM activity),
     covered AS (
-        SELECT a.user_id, gs.report_day
-        FROM activity a
-        CROSS JOIN bounds b,
-        UNNEST(generate_series(a.day,
-                               LEAST(a.day + {ROLLING_DISTINCT_DAYS - 1},
-                                     b.dmax))) AS t(report_day)
+        SELECT a.user_id, t.report_day
+        FROM activity a, bounds b,
+             UNNEST(generate_series(a.day,
+                                    LEAST(a.day + {ROLLING_DISTINCT_DAYS - 1},
+                                          b.dmax))) AS t(report_day)
     )
     SELECT report_day AS day,
            COUNT(DISTINCT user_id) AS n_users_7d

@@ -453,3 +453,28 @@ def test_asof_nearest_two_windows_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+
+
+def test_event_paths_topn_never_global_sorts(spark, sf_dir):
+    """Top-N paths compile to TakeOrderedAndProject; both aggs carry the
+    partial/final pair."""
+    plan = plan_str(QS["q_event_paths"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_rolling_distinct_replication_is_bounded_map(spark, sf_dir):
+    """The 7x coverage explode is a narrow map over the collapsed
+    user x day table (broadcast clip bound), never a join explosion."""
+    plan = plan_str(QS["q_rolling_distinct_users"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+
+
+def test_wow_growth_window_over_weekly_rollup(spark, sf_dir):
+    """The fact stream collapses in the weekly partial/final agg; LAG
+    runs over the |weeks|-row series."""
+    plan = plan_str(QS["q_wow_growth"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
