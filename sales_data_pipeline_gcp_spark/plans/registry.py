@@ -83,6 +83,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.sql_surface",
         "sales_data_pipeline_gcp_spark.operators.layout",
         "sales_data_pipeline_gcp_spark.operators.timeseries",
+        "sales_data_pipeline_gcp_spark.operators.analytics",
     ):
         importlib.import_module(mod)
 
