@@ -994,3 +994,98 @@ def q_dq_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.when(conforming, 1).otherwise(0)).alias("n_conforming"),
     )
+
+
+@register(
+    "q_mannwhitney",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id % 2 AS arm, value
+        FROM events WHERE event_type = 'purchase'
+    ), by_value AS (
+        SELECT value, COUNT(*) AS cnt,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cnt1
+        FROM obs GROUP BY value
+    ), ranked AS (
+        SELECT value, cnt, cnt1,
+               COALESCE(SUM(cnt) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM by_value
+    ), folded AS (
+        SELECT SUM(cnt1 * (2 * below + cnt + 1)) AS r1_x2,
+               SUM(cnt1) AS n1, SUM(cnt) AS n,
+               SUM(cnt * cnt * cnt - cnt) AS tie_term
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           CAST(n1 AS DOUBLE) * (n - n1) / 2 AS mu_u,
+           SQRT(CAST(n1 AS DOUBLE) * (n - n1) / 12
+                * ((CAST(n AS DOUBLE) + 1)
+                   - CAST(tie_term AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))) AS sigma_u,
+           (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 AS DOUBLE) * (n - n1) / 2)
+             / SQRT(CAST(n1 AS DOUBLE) * (n - n1) / 12
+                * ((CAST(n AS DOUBLE) + 1)
+                   - CAST(tie_term AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))) AS z
+    FROM folded
+    """,
+    doc="Mann-Whitney U rank-sum test — the nonparametric twin of "
+    "q_ab_ttest, comparing purchase values between the two hash-assigned "
+    "arms without assuming normality. Mid-ranks are computed without any "
+    "fractional arithmetic: observations collapse to one row per distinct "
+    "value (cnt, cnt-in-arm-1), a running count of strictly-smaller "
+    "observations gives the min-rank, and the DOUBLED tied-average rank "
+    "2*below + cnt + 1 stays integral, so the doubled rank-sum and the "
+    "tie-correction term are exact integer aggregates; the normal "
+    "approximation (mu, tie-corrected sigma, z) is the only float code "
+    "and is token-identical IEEE in both engines. At 100 TB: the "
+    "group-by-value collapse is map-side combined and the ordered window "
+    "runs over |distinct values| rows, not observations — the classic "
+    "rank-statistics-without-global-sort shape.",
+    tags=("stats", "window"),
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"), "value"
+    )
+    by_value = obs.groupBy("value").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cnt1"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    ranked = by_value.select(
+        "value",
+        "cnt",
+        "cnt1",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    folded = ranked.agg(
+        F.sum(F.col("cnt1") * (2 * F.col("below") + F.col("cnt") + 1)).alias("r1_x2"),
+        F.sum("cnt1").alias("n1"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("tie_term"),
+    )
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    n2 = F.col("n") - F.col("n1")
+    u1 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    mu = n1d * n2 / 2
+    sigma = F.sqrt(
+        n1d * n2 / 12
+        * ((nd + 1) - F.col("tie_term").cast("double") / (nd * (nd - 1)))
+    )
+    return folded.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        u1.alias("u1"),
+        mu.alias("mu_u"),
+        sigma.alias("sigma_u"),
+        ((u1 - mu) / sigma).alias("z"),
+    )

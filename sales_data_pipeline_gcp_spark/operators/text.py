@@ -720,3 +720,47 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_chars_split", "n_distinct_chars", "collision_num", "simpson"
     )
+
+
+@register(
+    "q_source_diversity",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS n_i
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(n_i) AS BIGINT)            AS n_docs,
+           CAST(COUNT(*) AS BIGINT)            AS n_langs,
+           1 - CAST(SUM(n_i * n_i) AS DOUBLE)
+                 / (CAST(SUM(n_i) AS DOUBLE) * CAST(SUM(n_i) AS DOUBLE))
+                                               AS gini_impurity,
+           CAST(SUM(n_i) AS DOUBLE) * CAST(SUM(n_i) AS DOUBLE)
+                 / CAST(SUM(n_i * n_i) AS DOUBLE)
+                                               AS effective_langs
+    FROM counts
+    GROUP BY source
+    """,
+    doc="Corpus language-balance profile per source: richness (distinct "
+    "languages), Gini impurity 1 - sum(p_i^2), and the effective number "
+    "of languages 1/sum(p_i^2) (inverse Simpson index) — the mixture "
+    "diagnostics a data-curation team watches before setting q_domain_mix "
+    "quotas. Deliberately Gini/Simpson instead of Shannon entropy: these "
+    "are RATIONAL in the category counts, so both engines compute them "
+    "from exact integer sums with one final division — no transcendental "
+    "log whose last ulp differs across libm implementations. At 100 TB: "
+    "two nested map-side-combined aggregates over (source, lang) then "
+    "source — the second runs over |sources| x |langs| rows.",
+    tags=("text", "agg", "stats"),
+)
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n_i"))
+    sn = F.sum("n_i").cast("double")
+    ssq = F.sum(F.col("n_i") * F.col("n_i")).cast("double")
+    return counts.groupBy("source").agg(
+        F.sum("n_i").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        (F.lit(1) - ssq / (sn * sn)).alias("gini_impurity"),
+        (sn * sn / ssq).alias("effective_langs"),
+    )
