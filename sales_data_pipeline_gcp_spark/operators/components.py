@@ -511,3 +511,96 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_2hop_customers"),
         )
     )
+
+
+#: BFS hop cap for q_graph_sssp — bounds both the Spark iteration count and
+#: the recursive-CTE depth so the two formulations compute the identical
+#: "min-hop distance within SSSP_MAX_HOPS" relation.
+SSSP_MAX_HOPS = 3
+
+
+@register(
+    "q_graph_sssp",
+    oracle=f"""
+    WITH RECURSIVE trade AS (
+        SELECT o.o_custkey AS c, l.l_suppkey AS s,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS v
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, l.l_suppkey
+    ), ranked AS (
+        SELECT c, s,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY v DESC, s) AS rn
+        FROM trade
+    ), edges AS (
+        SELECT c, s FROM ranked WHERE rn <= {KHOP_TOP_SUPPLIERS}
+    ), cc AS (
+        SELECT DISTINCT p1.c AS a, p2.c AS b
+        FROM edges p1 JOIN edges p2 ON p1.s = p2.s AND p1.c <> p2.c
+    ), walk(c, d) AS (
+        SELECT (SELECT MIN(c) FROM edges), 0
+        UNION
+        SELECT cc.b, walk.d + 1
+        FROM walk JOIN cc ON cc.a = walk.c
+        WHERE walk.d < {SSSP_MAX_HOPS}
+    )
+    SELECT c AS custkey, CAST(MIN(d) AS INTEGER) AS dist
+    FROM walk GROUP BY c
+    """,
+    doc="Single-source BFS shortest hop distance (capped at "
+    f"{SSSP_MAX_HOPS} hops) from the lowest-keyed customer over the "
+    "customer-customer projection of the sparsified trade graph (same "
+    "top-K-suppliers edge set as q_graph_khop, so the projection is "
+    "degree-bounded). Spark side is the Pregel-style frontier loop: each "
+    "round joins the previous frontier to the edge list, unions, and "
+    "takes MIN(dist) per node, localCheckpoint-truncating lineage per "
+    "round — the iteration count is the hop cap, a CONSTANT, never "
+    "data-dependent driver control flow. The DuckDB oracle is a "
+    "completely independent recursive-CTE formulation of the same "
+    "bounded-depth reachability fixpoint. At 100 TB: each BFS round is "
+    "one equi-join shuffle keyed on node id; frontier-only expansion "
+    "(nodes at exactly d-1) keeps round cost proportional to the "
+    "frontier, and the degree cap bounds the fan-out the way hub "
+    "sparsification always must at scale.",
+    tags=("graph", "iterative", "join"),
+)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sales_data_pipeline_gcp_spark.functions.exact import dec
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
+    trade = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum(dec("l_extendedprice", 2)).alias("v"))
+    )
+    w = W.partitionBy("c").orderBy(F.col("v").desc(), F.col("s").asc())
+    edges = (
+        trade.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KHOP_TOP_SUPPLIERS)
+        .select("c", "s")
+    )
+    p1 = edges.alias("p1")
+    p2 = edges.alias("p2")
+    cc = (
+        p1.join(p2, (F.col("p1.s") == F.col("p2.s")) & (F.col("p1.c") != F.col("p2.c")))
+        .select(F.col("p1.c").alias("a"), F.col("p2.c").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    src = edges.agg(F.min("c")).collect()[0][0]  # one scalar, config-sized
+    dist = spark.createDataFrame([(src, 0)], "c bigint, d int").localCheckpoint(eager=True)
+    for r in range(1, SSSP_MAX_HOPS + 1):
+        frontier = (
+            dist.filter(F.col("d") == r - 1)
+            .join(cc, F.col("c") == F.col("a"))
+            .select(F.col("b").alias("c"), F.lit(r).alias("d"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("c")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("c").alias("custkey"), F.col("d").cast("int").alias("dist"))

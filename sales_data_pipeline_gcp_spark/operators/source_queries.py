@@ -421,3 +421,101 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("total").cast("decimal(38,2)")).cast("double").alias("sum_total"),
         F.sum(F.col("quantity").cast("bigint")).alias("sum_qty"),
     )
+
+
+# --- schema evolution (mergeSchema read over heterogeneous batches) --------
+
+EVOLVED_DIR = os.path.join(FIXTURE_DIR, "sales_evolved")
+EVOLVED_V1_PATH = os.path.join(EVOLVED_DIR, "batch_v1.parquet")
+EVOLVED_V2_PATH = os.path.join(EVOLVED_DIR, "batch_v2.parquet")
+EVOLVED_V1_ROWS = 120
+EVOLVED_V2_ROWS = 80
+
+
+def _evolved_fixture_bytes() -> tuple[bytes, bytes]:
+    """Two parquet batches with EVOLVED schemas in one directory: v1 is the
+    legacy layout (id, amount); v2 adds a ``channel`` column mid-stream —
+    the additive-column evolution every long-lived ingest pipeline hits.
+    Values are deterministic dyadic fractions (i * 0.25) so the doubles
+    are exact in both engines."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v1 = pa.table(
+        {
+            "id": pa.array(range(EVOLVED_V1_ROWS), pa.int64()),
+            "amount": pa.array([i * 0.25 for i in range(EVOLVED_V1_ROWS)], pa.float64()),
+        }
+    )
+    chans = ("web", "app", "ads")
+    v2 = pa.table(
+        {
+            "id": pa.array(
+                range(EVOLVED_V1_ROWS, EVOLVED_V1_ROWS + EVOLVED_V2_ROWS), pa.int64()
+            ),
+            "amount": pa.array(
+                [i * 0.25 for i in range(EVOLVED_V1_ROWS, EVOLVED_V1_ROWS + EVOLVED_V2_ROWS)],
+                pa.float64(),
+            ),
+            "channel": pa.array(
+                [chans[i % 3] for i in range(EVOLVED_V2_ROWS)], pa.string()
+            ),
+        }
+    )
+    b1, b2 = _io.BytesIO(), _io.BytesIO()
+    pq.write_table(v1, b1)
+    pq.write_table(v2, b2)
+    return b1.getvalue(), b2.getvalue()
+
+
+def ensure_evolved_fixture() -> None:
+    os.makedirs(EVOLVED_DIR, mode=0o700, exist_ok=True)
+    v1_bytes, v2_bytes = _evolved_fixture_bytes()
+    # _install's tmp files land in FIXTURE_DIR; rename across the same fs.
+    _install(EVOLVED_V1_PATH, v1_bytes)
+    _install(EVOLVED_V2_PATH, v2_bytes)
+
+
+ensure_evolved_fixture()
+
+
+@register(
+    "q_scan_evolved",
+    oracle=f"""
+    SELECT COALESCE(channel, 'legacy') AS channel,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(38,2))) AS DOUBLE) AS total_amount,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM read_parquet(['{EVOLVED_V1_PATH}', '{EVOLVED_V2_PATH}'],
+                      union_by_name = true)
+    GROUP BY COALESCE(channel, 'legacy')
+    """,
+    doc="Schema-evolution scan: one table directory whose parquet batches "
+    "disagree on schema (a ``channel`` column appeared mid-stream). "
+    "Spark reads with ``mergeSchema=true`` — footers union at planning "
+    "time, pre-evolution files surface the new column as NULL — and the "
+    "aggregate folds those NULLs into a 'legacy' bucket; DuckDB mirrors "
+    "with ``union_by_name``. This is the additive-evolution contract a "
+    "100 TB lake depends on: no rewrite of old files, readers resolve "
+    "by name. Scale note: mergeSchema footer-unioning reads every "
+    "footer at planning — on a huge lake pin the merged schema in a "
+    "catalog/metastore instead and pass it explicitly; the query shape "
+    "is unchanged, which is the point.",
+    tags=("source",),
+)
+def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ensure_evolved_fixture()
+    df = spark.read.option("mergeSchema", "true").parquet(EVOLVED_DIR)
+    return df.groupBy(
+        F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("amount").cast("decimal(38,2)")).cast("double").alias("total_amount"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )
