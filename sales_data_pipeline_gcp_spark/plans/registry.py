@@ -147,15 +147,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_table_diff",            # new r5: Merkle-style replica diff
     "q_event_transitions",     # new r5: Markov transition matrix
     "q_time_weighted_avg",     # new r5: TWAP over irregular samples
-    # (b) round-1-latest greens:
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_join_semi_anti",
-    "q_json_extract",
-    "q_set_union",
-    "q_text_termstats",
-    "q_text_tokens",
-    "q_window_lag",
+    # (b) never-adjudicated continuation backlog, FIFO by add order. These
+    # eight took the slots VERDICT r4 earmarked for round-1-green
+    # backfill: by the standing rule (a never-adjudicated query outranks
+    # any re-refresh), zero-evidence queries win the tie, and the r1
+    # backfill (q_agg_distinct, q_agg_global, q_join_semi_anti,
+    # q_json_extract, q_set_union, q_text_termstats, q_text_tokens,
+    # q_window_lag) queues behind the remaining backlog for round 6.
+    "q_cohort_ltv",
+    "q_window_cumedist",
+    "q_benford_digits",
+    "q_dq_linenumbers",
+    "q_cumulative_users",
+    "q_event_paths",
+    "q_rolling_distinct_users",
+    "q_wow_growth",
     # (c) implementation touched in round 5:
     "q_dedup_minhash_stopshingle",
     "q_multimodal_decode",
@@ -184,10 +190,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (d) is empty this round: every round-2 re-refresh slot
     # (q_merge_upsert, q_scan_json, q_scan_csv_schema, q_sketch_cms,
     # q_udf_vectorized, plus the nine listed above) ceded to
-    # never-adjudicated operators; the displaced names plus the two
-    # continuation queries that did not fit (q_cohort_ltv,
-    # q_window_cumedist) lead the round-6 rotation. All keep sf0.01
-    # oracle parity cover via tests/test_parity.py meanwhile.
+    # never-adjudicated operators. Round-6 rotation order: first the
+    # never-adjudicated remainder (q_join_asof_nearest, then the late
+    # round-5 additions q_rfm, q_purchase_intervals, q_attribution,
+    # q_skyline, q_acf, q_mannwhitney, q_source_diversity, q_graph_sssp,
+    # q_scan_evolved), then the displaced refresh backlog (r1 greens
+    # before r2 greens). All keep sf0.01 oracle parity cover via
+    # tests/test_parity.py meanwhile.
 )
 
 

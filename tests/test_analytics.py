@@ -1,0 +1,194 @@
+"""Independent property checks for the round-5 continuation analytics
+operators (analytics.py, plus the ACF / Mann-Whitney / SSSP additions) —
+brute-force or closed-form recomputations at smoke scale, NOT the DuckDB
+oracle (tests/test_parity.py already runs that for every declared query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sales_data_pipeline_gcp_spark.operators.analytics import (
+    RFM_TILES,
+    q_attribution,
+    q_purchase_intervals,
+    q_rfm,
+    q_skyline,
+)
+from sales_data_pipeline_gcp_spark.operators.components import (
+    SSSP_MAX_HOPS,
+    q_graph_sssp,
+)
+from sales_data_pipeline_gcp_spark.operators.stats import q_mannwhitney
+from sales_data_pipeline_gcp_spark.operators.timeseries import ACF_LAGS, q_acf
+from sales_data_pipeline_gcp_spark.io import load
+
+from tests.conftest import SF_SMOKE
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Sort-based skyline == quadratic strict-dominance filter."""
+    pts = [
+        (int(r.p_partkey), round(float(r.p_retailprice) * 100), int(r.p_size))
+        for r in load(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    expected = {
+        k
+        for (k, pc, sz) in pts
+        if not any(pc2 < pc and sz2 > sz for (_, pc2, sz2) in pts)
+    }
+    got = {int(r.p_partkey) for r in q_skyline(spark, SF_SMOKE).collect()}
+    assert got == expected
+    # frontier is non-trivial on the fixture: strictly between 1 and all
+    assert 1 <= len(got) < len(pts)
+
+
+def test_rfm_tiles_balanced_and_code_consistent(spark):
+    rows = q_rfm(spark, SF_SMOKE).collect()
+    n = len(rows)
+    for dim in ("r_tile", "f_tile", "m_tile"):
+        counts = {}
+        for r in rows:
+            t = getattr(r, dim)
+            assert 1 <= t <= RFM_TILES
+            counts[t] = counts.get(t, 0) + 1
+        # NTILE balance: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+        assert sum(counts.values()) == n
+    for r in rows:
+        assert r.rfm_code == r.r_tile * 100 + r.f_tile * 10 + r.m_tile
+        assert r.recency_days >= 0 and r.frequency >= 1
+
+
+def test_attribution_conserves_purchase_value(spark):
+    """Every purchase is attributed exactly once: channel totals sum to
+    the corpus purchase total (in exact cents), including 'direct'."""
+    rows = q_attribution(spark, SF_SMOKE).collect()
+    ev = load(spark, SF_SMOKE, "events")
+    purchases = ev.filter("event_type = 'purchase'").collect()
+    total_cents = sum(round(float(r.value) * 100) for r in purchases)
+    got_cents = sum(round(float(r.attributed_value) * 100) for r in rows)
+    assert got_cents == total_cents
+    assert sum(r.n_purchases for r in rows) == len(purchases)
+    assert {r.channel for r in rows} <= {"click", "view", "signup", "direct"}
+
+
+def test_purchase_intervals_sum_telescopes(spark):
+    """Per customer, gap sum telescopes to last-first order date."""
+    import collections
+
+    o = load(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderdate").collect()
+    dates = collections.defaultdict(list)
+    for r in o:
+        dates[int(r.o_custkey)].append(r.o_orderdate.date())
+    rows = {int(r.custkey): r for r in q_purchase_intervals(spark, SF_SMOKE).collect()}
+    for ck, ds in dates.items():
+        if len(ds) < 2:
+            assert ck not in rows
+            continue
+        ds.sort()
+        r = rows[ck]
+        assert r.n_orders == len(ds)
+        assert r.n_gaps == len(ds) - 1
+        span = (ds[-1] - ds[0]).days
+        assert abs(r.avg_gap_days * r.n_gaps - span) < 1e-6
+
+
+def test_acf_matches_numpy(spark):
+    """Engine ACF == np.corrcoef on the collected daily series."""
+    rows = {int(r.lag): r for r in q_acf(spark, SF_SMOKE).collect()}
+    ev = load(spark, SF_SMOKE, "events").selectExpr(
+        "ts div 86400000000000 AS day", "CAST(value * 100 AS DECIMAL(38,0)) AS c"
+    )
+    from pyspark.sql import functions as F
+
+    daily = {
+        int(r.day): int(r.c)
+        for r in ev.groupBy("day").agg(F.sum("c").alias("c")).collect()
+    }
+    for lag in ACF_LAGS:
+        xs, ys = [], []
+        for d, v in daily.items():
+            if d - lag in daily:
+                xs.append(v)
+                ys.append(daily[d - lag])
+        r = rows[lag]
+        assert r.n_pairs == len(xs)
+        if len(xs) >= 2 and np.std(xs) > 0 and np.std(ys) > 0:
+            expected = float(np.corrcoef(xs, ys)[0, 1])
+            assert abs(float(r.acf) - expected) < 1e-9
+
+
+def test_mannwhitney_matches_bruteforce(spark):
+    """U statistic == direct pairwise count (with half-credit ties)."""
+    ev = load(spark, SF_SMOKE, "events").filter("event_type = 'purchase'")
+    obs = [(int(r.user_id) % 2, float(r.value)) for r in ev.collect()]
+    a1 = sorted(v for arm, v in obs if arm == 1)
+    a0 = sorted(v for arm, v in obs if arm == 0)
+    # U1 = #(pairs where arm1 > arm0) + 0.5 * #(ties)
+    u1 = 0.0
+    for v1 in a1:
+        for v0 in a0:
+            if v1 > v0:
+                u1 += 1.0
+            elif v1 == v0:
+                u1 += 0.5
+    row = q_mannwhitney(spark, SF_SMOKE).collect()[0]
+    assert row.n1 == len(a1) and row.n2 == len(a0)
+    assert abs(float(row.u1) - u1) < 1e-6
+    # z is standardized: |z| stays in a sane band for hash-assigned arms
+    assert abs(float(row.z)) < 10
+
+
+def test_sssp_is_valid_bfs(spark):
+    """Distances are a fixpoint of the BFS recurrence on the projected
+    graph: source at 0, every other reached node has a neighbor exactly
+    one closer, and no edge spans more than one level."""
+    rows = {int(r.custkey): int(r.dist) for r in q_graph_sssp(spark, SF_SMOKE).collect()}
+    src = [c for c, d in rows.items() if d == 0]
+    assert len(src) == 1
+    assert all(0 <= d <= SSSP_MAX_HOPS for d in rows.values())
+    # Rebuild the projection in Python (smoke scale) and check optimality.
+    from sales_data_pipeline_gcp_spark.operators.components import KHOP_TOP_SUPPLIERS
+
+    o = {int(r.o_orderkey): int(r.o_custkey) for r in load(spark, SF_SMOKE, "orders").collect()}
+    import collections
+
+    trade = collections.defaultdict(float)
+    for r in load(spark, SF_SMOKE, "lineitem").collect():
+        ok = int(r.l_orderkey)
+        if ok in o:
+            trade[(o[ok], int(r.l_suppkey))] += round(float(r.l_extendedprice) * 100)
+    by_cust = collections.defaultdict(list)
+    for (c, s), v in trade.items():
+        by_cust[c].append((-v, s))
+    edges = collections.defaultdict(set)
+    cust_supps = {}
+    for c, lst in by_cust.items():
+        lst.sort()
+        cust_supps[c] = {s for _, s in lst[:KHOP_TOP_SUPPLIERS]}
+    by_supp = collections.defaultdict(set)
+    for c, ss in cust_supps.items():
+        for s in ss:
+            by_supp[s].add(c)
+    adj = collections.defaultdict(set)
+    for s, cs in by_supp.items():
+        for a in cs:
+            for b in cs:
+                if a != b:
+                    adj[a].add(b)
+    # Python BFS from min customer
+    start = min(cust_supps)
+    dist = {start: 0}
+    frontier = [start]
+    for d in range(1, SSSP_MAX_HOPS + 1):
+        nxt = []
+        for c in frontier:
+            for nb in adj[c]:
+                if nb not in dist:
+                    dist[nb] = d
+                    nxt.append(nb)
+        frontier = nxt
+    assert rows == dist
