@@ -84,6 +84,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.layout",
         "sales_data_pipeline_gcp_spark.operators.timeseries",
         "sales_data_pipeline_gcp_spark.operators.analytics",
+        "sales_data_pipeline_gcp_spark.operators.distribution",
     ):
         importlib.import_module(mod)
 
