@@ -195,8 +195,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-adjudicated remainder (q_join_asof_nearest, then the late
     # round-5 additions q_rfm, q_purchase_intervals, q_attribution,
     # q_skyline, q_acf, q_mannwhitney, q_source_diversity, q_graph_sssp,
-    # q_scan_evolved), then the displaced refresh backlog (r1 greens
-    # before r2 greens). All keep sf0.01 oracle parity cover via
+    # q_scan_evolved, then the distribution-statistics family
+    # q_gini_concentration, q_spearman_corr, q_ks_test,
+    # q_bollinger_bands, q_cusum_changepoint, q_dow_seasonality,
+    # q_mix_effective_sources), then the displaced refresh backlog (r1
+    # greens before r2 greens). All keep sf0.01 oracle parity cover via
     # tests/test_parity.py meanwhile.
 )
 
