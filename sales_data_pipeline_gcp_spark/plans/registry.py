@@ -85,6 +85,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.timeseries",
         "sales_data_pipeline_gcp_spark.operators.analytics",
         "sales_data_pipeline_gcp_spark.operators.distribution",
+        "sales_data_pipeline_gcp_spark.operators.mlprep",
     ):
         importlib.import_module(mod)
 
