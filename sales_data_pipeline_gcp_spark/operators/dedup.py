@@ -1511,3 +1511,82 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("overlap") >= OVERLAP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. blocking-quality evaluation (the LSH audit harness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_blocking_quality",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    {_minhash_sql().strip()},
+    {_JACCARD_PAIRS_SQL.strip()},
+    truth AS (
+        SELECT doc_a, doc_b FROM jaccard_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM shingles),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM truth)      AS n_true,
+               (SELECT COUNT(*) FROM candidates) AS n_cand,
+               (SELECT COUNT(*) FROM candidates c
+                JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit,
+               (SELECT n_docs FROM n)            AS n_docs
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           n_docs * (n_docs - 1) // 2 AS total_pairs,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT)  AS n_hit,
+           CAST(n_hit AS DOUBLE) / n_true AS pair_completeness,
+           CAST(n_hit AS DOUBLE) / n_cand AS precision_at_block,
+           1.0 - CAST(n_cand AS DOUBLE)
+                   / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) AS reduction_ratio
+    FROM counts
+    """,
+    doc="Blocking-quality evaluation of the MinHash/LSH candidate generator "
+    "against the exact all-pairs Jaccard ground truth — the record-linkage "
+    "audit triple: pair completeness (recall of true near-dup pairs "
+    "surviving banding), precision at the blocking stage, and reduction "
+    "ratio (fraction of the O(n^2) pair space the blocker never touches). "
+    "This turns the LSH recall claim of q_dedup_minhash's docstring "
+    "(1-(1-J^r)^b) into a MEASURED, oracled number. All counts are exact "
+    "integers; the three ratios are final single divisions. At 100 TB the "
+    "exact ground truth is infeasible by definition — this query is the "
+    "AUDIT-SAMPLE harness: run it on a stratified sample (q_sample_hash's "
+    "deterministic split) to estimate production blocking quality; the "
+    "candidate/sig pipeline reuses the exact same shared stages as the "
+    "production path, so the measured numbers transfer.",
+    tags=("dedup", "llm", "eval"),
+)
+def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one checkpointed shingle-array table feeds signatures, truth pairs,
+    # and sizes — the same materialization contract as neardup_pairs
+    shs = materialize(shingle_arrays(fan_out(load(spark, sf_dir, "documents"))))
+    exploded = shs.select("doc_id", F.explode("shs").alias("shingle"))
+    sig = materialize(minhash_signatures(exploded))
+    cand = lsh_candidate_pairs(sig)
+    truth = jaccard_pairs(exploded).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    n_docs_row = shs.agg(F.count("*").alias("n_docs"))
+    hit = cand.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    counts = (
+        cand.agg(F.count("*").alias("n_cand"))
+        .join(F.broadcast(truth.agg(F.count("*").alias("n_true"))))
+        .join(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+        .join(F.broadcast(n_docs_row))
+    )
+    total_pairs = F.expr("n_docs * (n_docs - 1) div 2")
+    return counts.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        total_pairs.alias("total_pairs"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        (F.col("n_hit").cast("double") / F.col("n_true")).alias("pair_completeness"),
+        (F.col("n_hit").cast("double") / F.col("n_cand")).alias("precision_at_block"),
+        (F.lit(1.0) - F.col("n_cand").cast("double") / total_pairs.cast("double")).alias(
+            "reduction_ratio"
+        ),
+    )

@@ -315,3 +315,23 @@ def test_prefix_filter_discards_boilerplate_skew(spark):
     assert n_cands < n, f"prefix filter failed to discard boilerplate: {n_cands} candidates"
     # and the verified output is exactly empty: no pair reaches J >= 0.5
     assert prefix_filter_pairs(sh).count() == 0
+
+
+def test_blocking_quality_consistent_with_minhash(spark):
+    """n_hit is exactly the verified-pair count of q_dedup_minhash (verified
+    candidates == candidates-intersect-truth), and the audit ratios are
+    internally consistent."""
+    from sales_data_pipeline_gcp_spark.operators.dedup import (
+        q_dedup_blocking_quality,
+        q_dedup_minhash,
+    )
+    from tests.conftest import SF_SMOKE
+
+    row = q_dedup_blocking_quality(spark, SF_SMOKE).collect()[0]
+    verified = q_dedup_minhash(spark, SF_SMOKE).count()
+    assert row.n_hit == verified
+    assert row.n_hit <= row.n_true and row.n_hit <= row.n_cand
+    assert row.n_cand <= row.total_pairs
+    assert abs(row.pair_completeness - row.n_hit / row.n_true) < 1e-12
+    assert abs(row.precision_at_block - row.n_hit / row.n_cand) < 1e-12
+    assert row.reduction_ratio > 0.9  # blocking must actually block
