@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sales_data_pipeline_gcp_spark.functions.exact import dec
+from sales_data_pipeline_gcp_spark.functions.hashing import shared_hash, sql_shared_hash
 from sales_data_pipeline_gcp_spark.io import NS_PER_SECOND, load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -305,8 +307,6 @@ MEDIAN_WINDOW = 7
     tags=("stats", "window", "timeseries"),
 )
 def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sales_data_pipeline_gcp_spark.functions.exact import dec
-
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(dec(F.col("o_totalprice") * 100, 0)).cast("bigint").alias("rev_c")
@@ -324,4 +324,156 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         (F.col("rev_c").cast("double") / F.lit(1e2)).alias("revenue"),
         (F.col("med_c").cast("double") / F.lit(1e2)).alias("median7"),
+    )
+
+
+#: Feature-hashing dimensionality (the "hashing trick" bucket count) and
+#: the modulus that coarsens the numeric prop value into a categorical.
+FEATURE_BUCKETS = 8
+PROP_MOD = 4
+
+_FEATURE_COLS_SQL = ",\n           ".join(
+    f"COUNT(*) FILTER (WHERE bucket = {i}) AS f{i}" for i in range(FEATURE_BUCKETS)
+)
+
+
+@register(
+    "q_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT user_id, 't:' || event_type AS tok FROM events
+        UNION ALL
+        SELECT user_id,
+               'k:' || CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                            % {PROP_MOD} AS VARCHAR)
+        FROM events
+        WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+    ), b AS (
+        SELECT user_id, {sql_shared_hash("tok", "fh:")} % {FEATURE_BUCKETS} AS bucket
+        FROM toks
+    )
+    SELECT user_id,
+           COUNT(*) AS n_tokens,
+           {_FEATURE_COLS_SQL}
+    FROM b GROUP BY user_id
+    """,
+    doc=f"Feature hashing (the hashing trick): every event contributes a "
+    "categorical token for its type and a coarsened token for its numeric "
+    f"prop (k mod {PROP_MOD}); tokens hash into {FEATURE_BUCKETS} fixed "
+    "buckets via the cross-engine shared md5 hash and per-user bucket "
+    "counts become the dense f0..f7 feature vector — the "
+    "collision-tolerant categorical encoder that needs NO vocabulary "
+    "build, NO dictionary broadcast, and has fixed output width at any "
+    "cardinality (Weinberger et al.'s hashing trick). Pure integer "
+    "counts. At 100 TB: a narrow token map then one user-keyed "
+    "map-side-combining aggregate — no vocabulary state is the point; "
+    "the hash family is pluggable (xxhash64 once the oracle leaves the "
+    "loop, hashing.py scale note).",
+    tags=("ml", "events", "agg"),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k").cast("bigint")
+    t_tok = F.concat(F.lit("t:"), F.col("event_type"))
+    k_tok = F.when(
+        k_val.isNotNull(),
+        F.concat(F.lit("k:"), (k_val % PROP_MOD).cast("string")),
+    )
+    toks = (
+        ev.select("user_id", F.explode(F.array(t_tok, k_tok)).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    b = toks.select("user_id", (shared_hash(F.col("tok"), "fh:") % FEATURE_BUCKETS).alias("bucket"))
+    aggs = [F.count("*").alias("n_tokens")] + [
+        F.count(F.when(F.col("bucket") == i, 1)).alias(f"f{i}") for i in range(FEATURE_BUCKETS)
+    ]
+    return b.groupBy("user_id").agg(*aggs)
+
+
+#: Lift-curve deciles: users ranked by the behavioral score into this many
+#: equal-frequency tiles.
+LIFT_TILES = 10
+
+
+@register(
+    "q_lift_curve",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type IN ('view', 'click')) AS score,
+               CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+                    THEN 1 ELSE 0 END AS label
+        FROM events GROUP BY user_id
+    ), tiled AS (
+        SELECT score, label,
+               NTILE({LIFT_TILES}) OVER (ORDER BY score DESC, user_id ASC) AS decile
+        FROM per_user
+    ), per_tile AS (
+        SELECT decile, COUNT(*) AS n_users, SUM(label) AS n_pos
+        FROM tiled GROUP BY decile
+    ), tot AS (
+        SELECT decile, n_users, n_pos,
+               SUM(n_pos) OVER ()                   AS total_pos,
+               SUM(n_users) OVER ()                 AS total_users,
+               SUM(n_pos) OVER (ORDER BY decile)    AS cum_pos
+        FROM per_tile
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_pos AS BIGINT)   AS n_pos,
+           CAST(n_pos AS DOUBLE) / n_users AS pos_rate,
+           (CAST(n_pos AS DOUBLE) / n_users)
+             / (CAST(total_pos AS DOUBLE) / total_users) AS lift,
+           CAST(cum_pos AS DOUBLE) / total_pos AS cum_capture
+    FROM tot
+    """,
+    doc=f"Decile lift curve — the targeting-model evaluation table: users "
+    "ranked by a behavioral score (view+click volume) into "
+    f"NTILE({LIFT_TILES}) tiles under a total deterministic order, then "
+    "per-decile purchase rate, lift over the base rate, and cumulative "
+    "capture (what fraction of all buyers the top-k deciles reach). A "
+    "monotone-ish lift column is the fastest sanity check that a score "
+    "ranks buyers above non-buyers; cum_capture is the campaign-budget "
+    "curve. All counts integer; three final ratio divisions. At 100 TB: "
+    "the event scan collapses map-side to one row per user; the global "
+    "NTILE runs over |users| rows with the documented approx-cutpoint "
+    "swap (q_rfm's lever) at extreme user counts.",
+    tags=("ml", "events", "window"),
+)
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type").isin("view", "click"), 1)).alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("label"),
+    )
+    tiled = per_user.select(
+        "score",
+        "label",
+        F.ntile(LIFT_TILES)
+        .over(W.orderBy(F.col("score").desc(), F.col("user_id").asc()))
+        .alias("decile"),
+    )
+    per_tile = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("label").alias("n_pos")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = per_tile.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        F.sum("n_pos").over(w_all).alias("total_pos"),
+        F.sum("n_users").over(w_all).alias("total_users"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+    )
+    return tot.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.col("n_pos").cast("double") / F.col("n_users")).alias("pos_rate"),
+        (
+            (F.col("n_pos").cast("double") / F.col("n_users"))
+            / (F.col("total_pos").cast("double") / F.col("total_users"))
+        ).alias("lift"),
+        (F.col("cum_pos").cast("double") / F.col("total_pos")).alias("cum_capture"),
     )

@@ -133,3 +133,57 @@ def test_window_median_matches_bruteforce(spark):
         frame = sorted(revs[i : i + MEDIAN_WINDOW])
         assert round(r.median7 * 100) == frame[MEDIAN_WINDOW // 2]
         assert round(r.revenue * 100) == revs[i + MEDIAN_WINDOW - 1]
+
+
+def test_feature_hash_matches_bruteforce(spark):
+    import hashlib
+
+    from sales_data_pipeline_gcp_spark.operators.mlprep import (
+        FEATURE_BUCKETS,
+        PROP_MOD,
+        q_feature_hash,
+    )
+
+    def bucket(tok: str) -> int:
+        h = int(hashlib.md5(("fh:" + tok).encode()).hexdigest()[:15], 16)
+        return h % FEATURE_BUCKETS
+
+    import json
+
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "event_type", "props").collect()
+    expected: dict[int, list[int]] = {}
+    for r in rows:
+        toks = ["t:" + r.event_type]
+        k = json.loads(r.props).get("k") if r.props else None
+        if k is not None:
+            toks.append(f"k:{int(k) % PROP_MOD}")
+        vec = expected.setdefault(int(r.user_id), [0] * (FEATURE_BUCKETS + 1))
+        for t in toks:
+            vec[0] += 1
+            vec[1 + bucket(t)] += 1
+    got = {int(r.user_id): r for r in q_feature_hash(spark, SF_SMOKE).collect()}
+    assert set(got) == set(expected)
+    for uid, vec in expected.items():
+        r = got[uid]
+        assert r.n_tokens == vec[0]
+        for i in range(FEATURE_BUCKETS):
+            assert getattr(r, f"f{i}") == vec[1 + i], (uid, i)
+
+
+def test_lift_curve_invariants(spark):
+    from sales_data_pipeline_gcp_spark.operators.mlprep import LIFT_TILES, q_lift_curve
+
+    rows = sorted(q_lift_curve(spark, SF_SMOKE).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, LIFT_TILES + 1))
+    n_users = sum(r.n_users for r in rows)
+    # NTILE balance
+    assert max(r.n_users for r in rows) - min(r.n_users for r in rows) <= 1
+    total_pos = sum(r.n_pos for r in rows)
+    base = total_pos / n_users
+    cum = 0
+    for r in rows:
+        cum += r.n_pos
+        assert abs(r.pos_rate - r.n_pos / r.n_users) < 1e-12
+        assert abs(r.lift - (r.n_pos / r.n_users) / base) < 1e-12
+        assert abs(r.cum_capture - cum / total_pos) < 1e-12
+    assert abs(rows[-1].cum_capture - 1.0) < 1e-12
