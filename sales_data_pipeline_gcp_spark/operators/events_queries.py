@@ -709,3 +709,111 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covered.groupBy("day").agg(
         F.count_distinct("user_id").alias("n_users_7d")
     )
+
+
+@register(
+    "q_funnel_steps",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_ns(ts)) AS v_ns
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS c_ns
+        FROM events e JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) >= v.v_ns
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ns
+        FROM events e JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) >= c.c_ns
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), wide AS (
+        SELECT v.user_id, v.v_ns, c.c_ns, p.p_ns
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    ), sums AS (
+        SELECT COUNT(v_ns) AS n1, COUNT(c_ns) AS n2, COUNT(p_ns) AS n3,
+               SUM((c_ns - v_ns) // {NS_PER_SECOND}) AS s2,
+               SUM((p_ns - v_ns) // {NS_PER_SECOND}) AS s3
+        FROM wide
+    )
+    SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+           1.0 AS conv_from_prev, 1.0 AS conv_from_start,
+           0.0 AS avg_secs_from_start
+    FROM sums
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS BIGINT),
+           CAST(n2 AS DOUBLE) / n1, CAST(n2 AS DOUBLE) / n1,
+           CAST(s2 AS DOUBLE) / n2
+    FROM sums
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           CAST(n3 AS DOUBLE) / n2, CAST(n3 AS DOUBLE) / n1,
+           CAST(s3 AS DOUBLE) / n3
+    FROM sums
+    """,
+    doc="Three-step strict-sequence funnel (view -> click at-or-after the "
+    "first view -> purchase at-or-after the first click): per-step user "
+    "counts, step-over-step and from-start conversion rates, and mean "
+    "seconds from funnel entry — the k-step generalization of q_funnel's "
+    "cascading first-event pattern. Each step is aggregate-then-join: one "
+    "row per user shuffles per step, never the event stream twice. "
+    "Latency sums accumulate integer SECONDS (nanosecond sums would "
+    "overflow int64 at ~1e5 users x 90 days). At 100 TB: k user-keyed "
+    "one-row-per-user joins that AQE keeps shuffle-free after the first "
+    "exchange (same key), and a single-row summary — the per-user wide "
+    "funnel table stays distributed.",
+    tags=("events", "agg"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ns"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ns"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ns"))
+    )
+    wide = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    sums = wide.agg(
+        F.count("v_ns").alias("n1"),
+        F.count("c_ns").alias("n2"),
+        F.count("p_ns").alias("n3"),
+        F.sum(F.expr(f"(c_ns - v_ns) div {NS_PER_SECOND}")).alias("s2"),
+        F.sum(F.expr(f"(p_ns - v_ns) div {NS_PER_SECOND}")).alias("s3"),
+    )
+    step1 = sums.select(
+        F.lit(1).alias("step"),
+        F.lit("view").alias("event_type"),
+        F.col("n1").cast("bigint").alias("n_users"),
+        F.lit(1.0).alias("conv_from_prev"),
+        F.lit(1.0).alias("conv_from_start"),
+        F.lit(0.0).alias("avg_secs_from_start"),
+    )
+    step2 = sums.select(
+        F.lit(2).alias("step"),
+        F.lit("click").alias("event_type"),
+        F.col("n2").cast("bigint").alias("n_users"),
+        (F.col("n2").cast("double") / F.col("n1")).alias("conv_from_prev"),
+        (F.col("n2").cast("double") / F.col("n1")).alias("conv_from_start"),
+        (F.col("s2").cast("double") / F.col("n2")).alias("avg_secs_from_start"),
+    )
+    step3 = sums.select(
+        F.lit(3).alias("step"),
+        F.lit("purchase").alias("event_type"),
+        F.col("n3").cast("bigint").alias("n_users"),
+        (F.col("n3").cast("double") / F.col("n2")).alias("conv_from_prev"),
+        (F.col("n3").cast("double") / F.col("n1")).alias("conv_from_start"),
+        (F.col("s3").cast("double") / F.col("n3")).alias("avg_secs_from_start"),
+    )
+    return step1.unionByName(step2).unionByName(step3)

@@ -192,3 +192,38 @@ def test_sssp_is_valid_bfs(spark):
                     nxt.append(nb)
         frontier = nxt
     assert rows == dist
+
+
+def test_funnel_steps_bruteforce(spark):
+    from sales_data_pipeline_gcp_spark.operators.events_queries import q_funnel_steps
+
+    ev = [
+        (int(r.ts), r.event_type, int(r.user_id))
+        for r in load(spark, SF_SMOKE, "events").select("ts", "event_type", "user_id").collect()
+    ]
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for ts, et, uid in ev:
+        by_user.setdefault(uid, []).append((ts, et))
+    n = [0, 0, 0]
+    s2 = s3 = 0
+    for rows in by_user.values():
+        v = min((ts for ts, et in rows if et == "view"), default=None)
+        if v is None:
+            continue
+        n[0] += 1
+        c = min((ts for ts, et in rows if et == "click" and ts >= v), default=None)
+        if c is None:
+            continue
+        n[1] += 1
+        s2 += (c - v) // 10**9
+        p = min((ts for ts, et in rows if et == "purchase" and ts >= c), default=None)
+        if p is None:
+            continue
+        n[2] += 1
+        s3 += (p - v) // 10**9
+    got = {r.step: r for r in q_funnel_steps(spark, SF_SMOKE).collect()}
+    assert [got[i + 1].n_users for i in range(3)] == n
+    assert got[1].n_users >= got[2].n_users >= got[3].n_users > 0
+    assert abs(got[2].avg_secs_from_start - s2 / n[1]) < 1e-9
+    assert abs(got[3].avg_secs_from_start - s3 / n[2]) < 1e-9
+    assert abs(got[3].conv_from_start - n[2] / n[0]) < 1e-12
