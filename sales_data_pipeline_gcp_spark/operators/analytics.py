@@ -282,3 +282,166 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thresh.filter(
         F.col("best_cheaper").isNull() | (F.col("p_size") >= F.col("best_cheaper"))
     ).select("p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size"))
+
+
+#: XYZ demand-variability class boundaries, compared as SQUARED coefficient
+#: of variation so no sqrt is needed: X = steady (CV < 0.5), Y = variable
+#: (CV < 1.0), Z = erratic.
+XYZ_X_CV2 = 0.25
+XYZ_Y_CV2 = 1.0
+
+
+@register(
+    "q_xyz_analysis",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT l_partkey,
+               DATE_DIFF('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ), per_part AS (
+        SELECT l_partkey,
+               COUNT(*)                          AS n_weeks,
+               CAST(SUM(qty) AS DOUBLE)          AS s,
+               CAST(SUM(qty * qty) AS DOUBLE)    AS sxx,
+               CAST(SUM(qty) AS BIGINT)          AS total_qty
+        FROM weekly GROUP BY l_partkey
+    ), classed AS (
+        SELECT l_partkey, total_qty,
+               CASE WHEN ((sxx - s * s / n_weeks) / (n_weeks - 1))
+                         / ((s / n_weeks) * (s / n_weeks)) < {XYZ_X_CV2} THEN 'X'
+                    WHEN ((sxx - s * s / n_weeks) / (n_weeks - 1))
+                         / ((s / n_weeks) * (s / n_weeks)) < {XYZ_Y_CV2} THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM per_part
+        WHERE n_weeks >= 2
+    ), tot AS (
+        SELECT xyz_class, COUNT(*) AS n_parts, SUM(total_qty) AS total_qty
+        FROM classed GROUP BY xyz_class
+    )
+    SELECT xyz_class,
+           CAST(n_parts AS BIGINT)   AS n_parts,
+           CAST(total_qty AS BIGINT) AS total_qty,
+           CAST(n_parts AS DOUBLE) / SUM(n_parts) OVER () AS share_parts
+    FROM tot
+    """,
+    doc="XYZ demand-variability classification — the standard companion of "
+    "Pareto/ABC (q_pareto_abc): per part, the coefficient of variation of "
+    "WEEKLY demand (integer epoch-week buckets, the q_wow_growth "
+    "convention) classes parts as X steady / Y variable / Z erratic. "
+    "Variance comes from integer sum/sum-of-squares; the class test "
+    "compares SQUARED CV against squared boundaries, so the whole "
+    "predicate is rational — no sqrt anywhere. Parts observed in fewer "
+    "than two weeks carry no variance estimate and are excluded "
+    "structurally. ABC answers 'how much value'; XYZ answers 'how "
+    "predictable' — together they drive stocking policy. At 100 TB: two "
+    "map-side-collapsing aggregations (fact -> part-week -> part) on "
+    "progressively tinier keys, a 3-row class rollup, one broadcast "
+    "total.",
+    tags=("analytics", "agg", "stats"),
+)
+def q_xyz_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr("datediff(l_shipdate, date'1970-01-01') div 7").alias("wk"),
+    ).agg(F.sum(dec(F.col("l_quantity"), 0)).cast("bigint").alias("qty"))
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.count("*").alias("n_weeks"),
+        F.sum("qty").cast("double").alias("s"),
+        F.sum(F.col("qty") * F.col("qty")).cast("double").alias("sxx"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+    )
+    n, s, sxx = F.col("n_weeks"), F.col("s"), F.col("sxx")
+    cv2 = ((sxx - s * s / n) / (n - 1)) / ((s / n) * (s / n))
+    classed = per_part.filter(F.col("n_weeks") >= 2).select(
+        "total_qty",
+        F.when(cv2 < XYZ_X_CV2, "X").when(cv2 < XYZ_Y_CV2, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    tot = classed.groupBy("xyz_class").agg(
+        F.count("*").alias("n_parts"), F.sum("total_qty").alias("total_qty")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return tot.select(
+        "xyz_class",
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.col("total_qty").cast("bigint").alias("total_qty"),
+        (F.col("n_parts").cast("double") / F.sum("n_parts").over(w_all)).alias("share_parts"),
+    )
+
+
+@register(
+    "q_price_index",
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey,
+               CAST(date_part('year', l_shipdate) * 12
+                    + date_part('month', l_shipdate) - 1 AS BIGINT) AS mon,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS BIGINT)       AS q,
+               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS r_c
+        FROM lineitem GROUP BY 1, 2
+    ), base AS (
+        SELECT l_partkey, q AS q0, r_c AS r0_c
+        FROM pm WHERE mon = (SELECT MIN(mon) FROM pm)
+    ), matched AS (
+        -- Laspeyres term in FLOOR-CENT units: (revenue_cents * base_qty)
+        -- intdiv current_qty is exact integer arithmetic — a double
+        -- unit-price product would need quantization, and double->decimal
+        -- rounding is not bit-identical cross-engine at 1e5+ terms (the
+        -- double multiply before the round can cross a .5 boundary the
+        -- other way). Truncation is <=1 cent per part-month and is part
+        -- of the operator's definition.
+        SELECT pm.mon,
+               (pm.r_c * base.q0) // pm.q AS term_c,
+               base.r0_c
+        FROM pm JOIN base ON pm.l_partkey = base.l_partkey
+    )
+    SELECT mon,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           100.0 * CAST(SUM(term_c) AS DOUBLE)
+                 / CAST(SUM(r0_c) AS DOUBLE) AS laspeyres_index
+    FROM matched
+    GROUP BY mon
+    """,
+    doc="Laspeyres monthly price index over the lineitem fact: for each "
+    "month, the cost of the BASE month's basket at current unit prices "
+    "relative to its base cost, x100 — the fixed-basket inflation measure "
+    "(what would last period's purchases cost today?). Each part's term "
+    "is held in exact FLOOR-CENT integer units — (revenue_cents x "
+    "base_qty) intdiv current_qty — because a double unit-price product "
+    "would need double->decimal quantization, which is not bit-identical "
+    "cross-engine at 1e5+ terms; truncation (<=1 cent per part-month) is "
+    "part of the operator's definition, and the cross-part sum is an "
+    "exact integer sum. The base-cost denominator is exact cents by "
+    "construction (u0*q0 == r0). Only parts present in both months enter "
+    "(matched-"
+    "sample index), with the month's match count reported. At 100 TB: "
+    "the fact collapses map-side to (part, month); the base join keys on "
+    "part — one exchange reused by the final month rollup.",
+    tags=("analytics", "agg"),
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).cast("bigint").alias("mon"),
+    ).agg(
+        F.sum(dec(F.col("l_quantity"), 0)).cast("bigint").alias("q"),
+        F.sum(dec(F.col("l_extendedprice") * 100, 0)).cast("bigint").alias("r_c"),
+    )
+    base_mon = pm.agg(F.min("mon").alias("mon0"))
+    base = (
+        pm.join(F.broadcast(base_mon), pm.mon == F.col("mon0"))
+        .select(F.col("l_partkey").alias("bk"), F.col("q").alias("q0"), F.col("r_c").alias("r0_c"))
+    )
+    matched = pm.join(base, pm.l_partkey == F.col("bk")).select(
+        "mon", F.expr("(r_c * q0) div q").alias("term_c"), "r0_c"
+    )
+    return matched.groupBy("mon").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        (
+            F.lit(100.0) * F.sum("term_c").cast("double") / F.sum("r0_c").cast("double")
+        ).alias("laspeyres_index"),
+    )

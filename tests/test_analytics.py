@@ -227,3 +227,57 @@ def test_funnel_steps_bruteforce(spark):
     assert abs(got[2].avg_secs_from_start - s2 / n[1]) < 1e-9
     assert abs(got[3].avg_secs_from_start - s3 / n[2]) < 1e-9
     assert abs(got[3].conv_from_start - n[2] / n[0]) < 1e-12
+
+
+def test_xyz_analysis_bruteforce(spark):
+    from sales_data_pipeline_gcp_spark.operators.analytics import (
+        XYZ_X_CV2,
+        XYZ_Y_CV2,
+        q_xyz_analysis,
+    )
+
+    li = load(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_shipdate", "l_quantity").collect()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    weekly: dict[tuple[int, int], int] = {}
+    for r in li:
+        d = r.l_shipdate.date() if isinstance(r.l_shipdate, datetime.datetime) else r.l_shipdate
+        wk = (d - epoch).days // 7
+        weekly[(int(r.l_partkey), wk)] = weekly.get((int(r.l_partkey), wk), 0) + round(
+            float(r.l_quantity)
+        )
+    per_part: dict[int, list[int]] = {}
+    for (pk, _wk), q in weekly.items():
+        per_part.setdefault(pk, []).append(q)
+    exp = {"X": [0, 0], "Y": [0, 0], "Z": [0, 0]}
+    for qs in per_part.values():
+        if len(qs) < 2:
+            continue
+        n = len(qs)
+        s = sum(qs)
+        sxx = sum(q * q for q in qs)
+        cv2 = ((sxx - s * s / n) / (n - 1)) / ((s / n) ** 2)
+        cls = "X" if cv2 < XYZ_X_CV2 else ("Y" if cv2 < XYZ_Y_CV2 else "Z")
+        exp[cls][0] += 1
+        exp[cls][1] += s
+    got = {r.xyz_class: r for r in q_xyz_analysis(spark, SF_SMOKE).collect()}
+    total = sum(v[0] for v in exp.values())
+    for cls, (np_, tq) in exp.items():
+        if np_ == 0:
+            assert cls not in got
+            continue
+        assert got[cls].n_parts == np_ and got[cls].total_qty == tq
+        assert abs(got[cls].share_parts - np_ / total) < 1e-12
+
+
+def test_price_index_base_month_is_100(spark):
+    from sales_data_pipeline_gcp_spark.operators.analytics import q_price_index
+
+    rows = sorted(q_price_index(spark, SF_SMOKE).collect(), key=lambda r: r.mon)
+    # base month: every matched part's floor-cent term equals its own base
+    # revenue exactly, so the index is exactly 100
+    assert abs(rows[0].laspeyres_index - 100.0) < 1e-12
+    assert all(r.n_parts > 0 for r in rows)
+    # matched-sample counts can never exceed the base month's part count
+    assert all(r.n_parts <= rows[0].n_parts for r in rows)
