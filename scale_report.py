@@ -59,6 +59,16 @@ QUERIES = [
     "q_basket_lift",          # order-keyed pair mining + broadcast supports
     "q_graph_khop",           # supplier-keyed self-join fan-out
     "q_winsorized_mean",      # rank window + broadcast cut table
+    # round-5 distribution/ML-prep families: the all-pairs audit harness
+    # (expected superlinear BY DESIGN — it contains the exact ground
+    # truth; documented as the audit-sample op), the rank-window Spearman
+    # (global windows must track |parts|), the forward-label window
+    # (user-partitioned — must track |events|), and the hashing-trick
+    # encoder (narrow map + one keyed agg — must track the scan)
+    "q_dedup_blocking_quality",  # LSH audit vs exact ground truth
+    "q_spearman_corr",           # two global rank windows
+    "q_label_window",            # forward-only label window
+    "q_feature_hash",            # token map + user-keyed agg
 ]
 
 
