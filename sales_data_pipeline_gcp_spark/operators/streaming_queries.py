@@ -198,3 +198,93 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_data_pipeline_gcp_spark.streaming.rollup import hierarchical_rollup
 
     return hierarchical_rollup(load(spark, sf_dir, "events"))
+
+
+#: Stream-dedup demo sizing: two micro-batch files with this many rows
+#: each, the second re-delivering this many of the first's rows.
+STREAM_DEDUP_ROWS = 80
+STREAM_DEDUP_OVERLAP = 20
+
+
+@register(
+    "q_stream_dedup",
+    oracle=None,  # streaming state op; batch-equivalence embedded in output
+    doc="Watermarked streaming deduplication: a file-source stream whose "
+    "second micro-batch re-delivers rows from the first (the at-least-once "
+    "reality of upstream producers), deduplicated by key with "
+    "dropDuplicatesWithinWatermark — state is bounded by the watermark "
+    "horizon instead of growing forever, the production posture for "
+    "exactly-once-by-key sinks at 100 TB/day. Like q_stream_ingest, the "
+    "driver can only rows-check a streaming query, so the batch-"
+    "equivalence proof is embedded in the output: every sink row carries "
+    "stream_rows / batch_rows / rows_match / hash_match columns comparing "
+    "the streamed dedup against batch dropDuplicates over the same files "
+    "(re-delivered rows are byte-identical, so the survivor set is "
+    "well-defined and the order-independent content hash must match). "
+    "tests/test_streaming.py pins the semantics on top.",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    raw = os.path.join(base, "raw")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(raw)
+
+    def row(i: int) -> str:
+        # deterministic, duplicate-stable content: re-delivery is byte-equal
+        return f"{i},2026-01-01 00:{i // 60:02d}:{i % 60:02d},{(i * 7) % 100}.25"
+
+    n, k = STREAM_DEDUP_ROWS, STREAM_DEDUP_OVERLAP
+    with open(os.path.join(raw, "batch_0.csv"), "w") as f:
+        f.write("event_id,ts,value\n")
+        f.writelines(row(i) + "\n" for i in range(n))
+    with open(os.path.join(raw, "batch_1.csv"), "w") as f:
+        f.write("event_id,ts,value\n")
+        f.writelines(row(i) + "\n" for i in range(n - k, 2 * n - k))
+
+    schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    src = spark.readStream.schema(schema).option("header", "true").csv(raw)
+    deduped = src.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(["event_id"])
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    sink = spark.read.parquet(out)
+    batch = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(raw)
+        .dropDuplicates(["event_id"])
+    )
+
+    def summary(df: DataFrame, p: str) -> DataFrame:
+        row_str = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in sorted(df.columns)],
+        )
+        return df.agg(
+            F.count("*").alias(f"{p}_rows"),
+            F.coalesce(F.sum(F.xxhash64(row_str).cast("decimal(38,0)")), F.lit(0)).alias(
+                f"{p}_hash"
+            ),
+        )
+
+    evidence = (
+        summary(sink, "stream")
+        .crossJoin(F.broadcast(summary(batch, "batch")))
+        .select(
+            "stream_rows",
+            "batch_rows",
+            (F.col("stream_rows") == F.col("batch_rows")).alias("rows_match"),
+            (F.col("stream_hash") == F.col("batch_hash")).alias("hash_match"),
+        )
+    )
+    return sink.crossJoin(F.broadcast(evidence))

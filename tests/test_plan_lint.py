@@ -28,7 +28,7 @@ SINGLE_ROW_CROSS_OK = {"q_sim_topk", "q_sim_ann_ivf"}
 
 @pytest.mark.parametrize("name", sorted(ALL), ids=sorted(ALL))
 def test_plan_has_no_scale_antipatterns(spark, sf_smoke_dir, name):
-    if name == "q_stream_ingest":
+    if name in ("q_stream_ingest", "q_stream_dedup"):
         pytest.skip("streaming query materializes its own pipeline")
     plan = plan_str(ALL[name].fn(spark, sf_smoke_dir))
 

@@ -134,3 +134,18 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_stream").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_dedup_bounded_state_equivalence(spark):
+    from sales_data_pipeline_gcp_spark.operators.streaming_queries import (
+        STREAM_DEDUP_OVERLAP,
+        STREAM_DEDUP_ROWS,
+        q_stream_dedup,
+    )
+
+    rows = q_stream_dedup(spark, "/root/testdata/sf0.001").collect()
+    expected_distinct = 2 * STREAM_DEDUP_ROWS - STREAM_DEDUP_OVERLAP
+    assert len(rows) == expected_distinct
+    ids = [r.event_id for r in rows]
+    assert len(set(ids)) == expected_distinct  # re-delivered keys dropped
+    assert all(r.rows_match and r.hash_match for r in rows)
