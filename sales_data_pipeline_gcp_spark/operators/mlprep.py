@@ -477,3 +477,86 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift"),
         (F.col("cum_pos").cast("double") / F.col("total_pos")).alias("cum_capture"),
     )
+
+
+#: Hampel identifier threshold in MAD units (integer comparison k*mad).
+HAMPEL_K = 3
+
+
+@register(
+    "q_window_hampel",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_orderdate
+    ), rolled AS (
+        SELECT d, rev_c,
+               COUNT(*) OVER w AS n_w,
+               list(rev_c) OVER w AS arr
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {MEDIAN_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    ), med AS (
+        SELECT d, rev_c, n_w, arr,
+               list_sort(arr)[{MEDIAN_WINDOW // 2 + 1}] AS med_c
+        FROM rolled
+    ), dev AS (
+        SELECT d, rev_c, n_w, med_c,
+               list_sort(list_transform(arr, v -> ABS(v - med_c)))[{MEDIAN_WINDOW // 2 + 1}] AS mad_c
+        FROM med
+    )
+    SELECT d,
+           CAST(rev_c AS DOUBLE) / 1e2 AS revenue,
+           CAST(med_c AS DOUBLE) / 1e2 AS med7,
+           CAST(mad_c AS DOUBLE) / 1e2 AS mad7,
+           CAST(CASE WHEN ABS(rev_c - med_c) > {HAMPEL_K} * mad_c
+                     THEN 1 ELSE 0 END AS INTEGER) AS hampel_outlier
+    FROM dev
+    WHERE n_w = {MEDIAN_WINDOW}
+    """,
+    doc=f"Hampel filter over daily revenue: a {MEDIAN_WINDOW}-day rolling "
+    f"MEDIAN and rolling MAD (median absolute deviation), flagging days "
+    f"where |x - median| > {HAMPEL_K} x MAD — the robust despiking filter "
+    "that, unlike q_bollinger_bands' mean/sigma, cannot be dragged by the "
+    "outlier it is trying to flag (50% breakdown point vs 0%). Both "
+    "order statistics are exact integer-cent elements of the sorted "
+    "frame (odd window), and the flag predicate compares INTEGERS — no "
+    "float enters any decision. Completes the rolling-robustness triple "
+    "with q_window_median and q_outlier_mad (global MAD). At 100 TB: the "
+    "scan collapses map-side to one row per day; the in-row list sort is "
+    f"O({MEDIAN_WINDOW} log {MEDIAN_WINDOW}) per row with a frame-bounded "
+    "buffer.",
+    tags=("stats", "window", "timeseries"),
+)
+def q_window_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(dec(F.col("o_totalprice") * 100, 0)).cast("bigint").alias("rev_c")
+    )
+    w = W.orderBy("d").rowsBetween(-(MEDIAN_WINDOW - 1), W.currentRow)
+    rolled = daily.select(
+        "d",
+        "rev_c",
+        F.count("*").over(w).alias("n_w"),
+        F.collect_list("rev_c").over(w).alias("arr"),
+    )
+    mid = MEDIAN_WINDOW // 2 + 1
+    med = rolled.withColumn("med_c", F.element_at(F.sort_array("arr"), mid))
+    dev = med.withColumn(
+        "mad_c",
+        F.element_at(
+            F.sort_array(F.transform("arr", lambda v: F.abs(v - F.col("med_c")))), mid
+        ),
+    )
+    return dev.filter(F.col("n_w") == MEDIAN_WINDOW).select(
+        "d",
+        (F.col("rev_c").cast("double") / F.lit(1e2)).alias("revenue"),
+        (F.col("med_c").cast("double") / F.lit(1e2)).alias("med7"),
+        (F.col("mad_c").cast("double") / F.lit(1e2)).alias("mad7"),
+        F.when(
+            F.abs(F.col("rev_c") - F.col("med_c")) > HAMPEL_K * F.col("mad_c"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("hampel_outlier"),
+    )

@@ -187,3 +187,28 @@ def test_lift_curve_invariants(spark):
         assert abs(r.lift - (r.n_pos / r.n_users) / base) < 1e-12
         assert abs(r.cum_capture - cum / total_pos) < 1e-12
     assert abs(rows[-1].cum_capture - 1.0) < 1e-12
+
+
+def test_window_hampel_matches_bruteforce(spark):
+    from sales_data_pipeline_gcp_spark.operators.mlprep import HAMPEL_K, q_window_hampel
+
+    daily = sorted(
+        (r.d, round(float(r.s) * 100))
+        for r in load(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderdate")
+        .agg({"o_totalprice": "sum"})
+        .withColumnRenamed("sum(o_totalprice)", "s")
+        .withColumnRenamed("o_orderdate", "d")
+        .collect()
+    )
+    revs = [c for _, c in daily]
+    rows = sorted(q_window_hampel(spark, SF_SMOKE).collect(), key=lambda r: r.d)
+    assert len(rows) == len(daily) - (MEDIAN_WINDOW - 1)
+    for i, r in enumerate(rows):
+        frame = revs[i : i + MEDIAN_WINDOW]
+        med = sorted(frame)[MEDIAN_WINDOW // 2]
+        mad = sorted(abs(v - med) for v in frame)[MEDIAN_WINDOW // 2]
+        assert round(r.med7 * 100) == med
+        assert round(r.mad7 * 100) == mad
+        cur = frame[-1]
+        assert r.hampel_outlier == int(abs(cur - med) > HAMPEL_K * mad)
