@@ -199,9 +199,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_scan_evolved, then the distribution-statistics family
     # q_gini_concentration, q_spearman_corr, q_ks_test,
     # q_bollinger_bands, q_cusum_changepoint, q_dow_seasonality,
-    # q_mix_effective_sources), then the displaced refresh backlog (r1
-    # greens before r2 greens). All keep sf0.01 oracle parity cover via
-    # tests/test_parity.py meanwhile.
+    # q_mix_effective_sources, then the ML-prep/evaluation families
+    # q_label_window, q_train_test_split, q_tv_drift, q_window_median,
+    # q_dedup_blocking_quality, q_feature_hash, q_lift_curve,
+    # q_funnel_steps, q_xyz_analysis, q_price_index, q_window_hampel,
+    # and the rows-only q_stream_dedup), then the displaced refresh
+    # backlog (r1 greens before r2 greens). All keep sf0.01 oracle
+    # parity cover via tests/test_parity.py meanwhile.
 )
 
 
