@@ -519,3 +519,85 @@ def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("bigint").alias("min_id"),
         F.max("id").cast("bigint").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): one row in -> many rows out
+# ---------------------------------------------------------------------------
+
+#: UDTF chunker window (words per chunk; non-overlapping).
+UDTF_CHUNK_WORDS = 20
+
+_UDTF_CHUNKS_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, ws,
+               UNNEST(range(0, (len(ws) + {UDTF_CHUNK_WORDS - 1}) // {UDTF_CHUNK_WORDS})) AS k
+        FROM words WHERE len(ws) > 0
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_idx,
+           CAST(len(ws[{UDTF_CHUNK_WORDS}*k+1 : {UDTF_CHUNK_WORDS}*k+{UDTF_CHUNK_WORDS}])
+                AS INTEGER) AS n_words,
+           md5(array_to_string(
+               ws[{UDTF_CHUNK_WORDS}*k+1 : {UDTF_CHUNK_WORDS}*k+{UDTF_CHUNK_WORDS}], ' '))
+               AS chunk_md5
+    FROM idx
+"""
+
+
+@register(
+    "q_udtf_chunks",
+    oracle=_UDTF_CHUNKS_SQL,
+    doc=f"Python UDTF surface (Spark 4 user-defined TABLE function): a "
+    f"lateral-joined generator that explodes each document into "
+    f"{UDTF_CHUNK_WORDS}-word non-overlapping chunks with per-chunk md5 "
+    "content fingerprints — one row in, many rows out, the API shape "
+    "flatMap-style extensions (parsers, tokenizers, segmenters) need "
+    "when the output cardinality is data-dependent. Completes the "
+    "Python extension matrix: scalar pandas_udf (q_udf_vectorized), "
+    "grouped applyInPandas (q_grouped_trend), mapInPandas (multimodal), "
+    "applyInPandasWithState (streaming), and now UDTF. The oracle is "
+    "the fully declarative DuckDB rewrite, which doubles as the "
+    "guidance: like q_grouped_trend vs q_grouped_trend_sql, the "
+    "built-in explode/slice form (q_text_chunk) is the 10x/100 TB "
+    "path — a UDTF earns its per-row Python cost only when the "
+    "generation logic cannot be expressed declaratively. At 100 TB: "
+    "embarrassingly parallel per-row generation, no shuffle; the "
+    "Python boundary is the documented cost.",
+    tags=("udf", "text", "llm"),
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    from sales_data_pipeline_gcp_spark.io import register_views
+
+    @udtf(
+        returnType="doc_id: bigint, chunk_idx: int, n_words: int, chunk_md5: string",
+        useArrow=True,  # Arrow-batched boundary — the repo-wide lint bans
+        # row-at-a-time BatchEvalPython in every plan, UDTFs included
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF signature
+            words = [w for w in (text or "").split(" ") if w]
+            for i in range(0, len(words), UDTF_CHUNK_WORDS):
+                chunk = words[i : i + UDTF_CHUNK_WORDS]
+                yield (
+                    doc_id,
+                    i // UDTF_CHUNK_WORDS,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("chunk_docs_udtf", ChunkDocs)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_words, c.chunk_md5
+        FROM documents AS d, LATERAL chunk_docs_udtf(d.doc_id, d.text) AS c
+        """
+    )

@@ -143,3 +143,59 @@ def q_sql_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sql_doc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, _SQL_DOC_SOURCE_PROFILE)
+
+
+_SQL_CHAINED_INDEX = """
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS mon,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS rev_c
+        FROM orders
+        GROUP BY CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+    ), seq AS (
+        SELECT mon, rev_c,
+               CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS rn,
+               LAG(rev_c) OVER (ORDER BY mon) AS prev_c
+        FROM monthly
+    ), grown AS (
+        SELECT mon, rn,
+               CASE WHEN prev_c IS NULL THEN 1.0
+                    ELSE LEAST(GREATEST(CAST(rev_c AS DOUBLE)
+                                        / CAST(prev_c AS DOUBLE), 0.8), 1.25)
+               END AS growth
+        FROM seq
+    ), chain(rn, mon, growth, idx) AS (
+        SELECT rn, mon, growth, CAST(100.0 AS DOUBLE)
+        FROM grown WHERE rn = 1
+        UNION ALL
+        SELECT g.rn, g.mon, g.growth, c.idx * g.growth
+        FROM chain c JOIN grown g ON g.rn = c.rn + 1
+    )
+    SELECT mon, rn, growth, idx AS chained_index
+    FROM chain
+    ORDER BY rn
+"""
+
+
+@register(
+    "q_sql_chained_index",
+    oracle=_SQL_CHAINED_INDEX,
+    doc="Recursive-CTE SQL surface (WITH RECURSIVE, new in Spark 4): a "
+    "volatility-clamped CHAINED monthly revenue index — each month's "
+    "index is the previous index times the month-over-month growth "
+    "clamped to [0.8, 1.25]. The clamp makes the product genuinely "
+    "sequential (an unclamped chain telescopes; a clamped one cannot be "
+    "rewritten as a window aggregate), so this is the canonical "
+    "computation that NEEDS linear recursion. One dialect-neutral SQL "
+    "string runs verbatim on both engines (Spark recursion is UNION "
+    "ALL-only — the recursion here is a single chain, one row per month, "
+    "so no distinct-union dedup is needed and the recursive term joins "
+    "on rn = prev rn + 1). The growth inputs are exact integer cents; "
+    "the chained doubles multiply in the SAME sequential order in both "
+    "engines, so the product is bit-identical. At 100 TB: the fact "
+    "stream collapses map-side to one row per month before recursion "
+    "touches anything — the recursive depth equals |months|, a "
+    "dimension, never data volume.",
+    tags=("sql", "recursive", "timeseries"),
+)
+def q_sql_chained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_sql(spark, sf_dir, _SQL_CHAINED_INDEX)

@@ -281,3 +281,24 @@ def test_price_index_base_month_is_100(spark):
     assert all(r.n_parts > 0 for r in rows)
     # matched-sample counts can never exceed the base month's part count
     assert all(r.n_parts <= rows[0].n_parts for r in rows)
+
+
+def test_chained_index_matches_sequential_python(spark):
+    from sales_data_pipeline_gcp_spark.operators.sql_surface import q_sql_chained_index
+
+    rows = sorted(q_sql_chained_index(spark, SF_SMOKE).collect(), key=lambda r: r.rn)
+    monthly = {}
+    for r in load(spark, SF_SMOKE, "orders").select("o_orderdate", "o_totalprice").collect():
+        mon = r.o_orderdate.year * 12 + r.o_orderdate.month - 1
+        monthly[mon] = monthly.get(mon, 0) + round(float(r.o_totalprice) * 100)
+    mons = sorted(monthly)
+    assert [r.mon for r in rows] == mons
+    idx = 100.0
+    prev = None
+    for r, mon in zip(rows, mons):
+        g = 1.0 if prev is None else min(max(monthly[mon] / prev, 0.8), 1.25)
+        idx = idx * g if prev is not None else 100.0
+        assert abs(r.growth - g) < 1e-15
+        assert abs(r.chained_index - idx) < 1e-9
+        assert 0.8 - 1e-15 <= r.growth <= 1.25 + 1e-15
+        prev = monthly[mon]

@@ -19,6 +19,7 @@ PYTHON_OK = {
     "q_multimodal_framesample", # mapInPandas frame sampler
     "q_multimodal_decode",      # mapInPandas header synth + parse
     "q_udf_vectorized",         # scalar pandas UDF
+    "q_udtf_chunks",            # Python UDTF lateral generator
 }
 
 #: queries that broadcast a literal single-row side (query vector) — a

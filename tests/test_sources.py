@@ -115,3 +115,30 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "tag"}
     assert merged.count() == 8
     assert merged.filter("tag IS NULL").count() == 5
+
+
+def test_udtf_chunks_matches_python(spark):
+    import hashlib
+
+    from sales_data_pipeline_gcp_spark.io import load
+    from sales_data_pipeline_gcp_spark.operators.source_queries import (
+        UDTF_CHUNK_WORDS,
+        q_udtf_chunks,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        words = [w for w in r.text.split(" ") if w]
+        for i in range(0, len(words), UDTF_CHUNK_WORDS):
+            chunk = words[i : i + UDTF_CHUNK_WORDS]
+            expected[(int(r.doc_id), i // UDTF_CHUNK_WORDS)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    got = {
+        (int(r.doc_id), int(r.chunk_idx)): (int(r.n_words), r.chunk_md5)
+        for r in q_udtf_chunks(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
