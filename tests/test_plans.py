@@ -478,3 +478,59 @@ def test_wow_growth_window_over_weekly_rollup(spark, sf_dir):
     plan = plan_str(QS["q_wow_growth"].fn(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+# ---- round-5 continuation families: plan pins ----
+
+
+def test_gini_one_exchange_for_window_and_agg(spark, sf_dir):
+    """customer dim broadcasts; the rank window and the final agg share
+    the ONE nationkey exchange (after the per-customer rollup's)."""
+    plan = plan_str(QS["q_gini_concentration"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # orders scan reads exactly custkey + totalprice (pruned)
+    orders_reads = [l for l in read if "o_custkey" in l]
+    assert orders_reads and all("o_orderdate" not in l for l in orders_reads)
+    # exchanges: one for the (nation, cust) rollup + one on nationkey,
+    # shared by window and final agg — no third
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+
+
+def test_label_window_partitioned_no_global_sort(spark, sf_dir):
+    plan = plan_str(QS["q_label_window"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, "label window must stay user-partitioned"
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read and "value" not in read  # pruned
+
+
+def test_feature_hash_single_user_exchange(spark, sf_dir):
+    plan = plan_str(QS["q_feature_hash"].fn(spark, sf_dir))
+    # narrow token map + ONE user-keyed exchange with map-side combine
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert "BatchEvalPython" not in plan  # hashing stays JVM-side
+
+
+def test_funnel_steps_aggregates_before_joins(spark, sf_dir):
+    """Each funnel step joins one-row-per-user aggregates — the event
+    stream is never joined to itself raw."""
+    plan = plan_str(QS["q_funnel_steps"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_price_index_collapses_before_join(spark, sf_dir):
+    """The fact stream collapses to (part, month) BEFORE the base join:
+    partial+final HashAggregate pair appears below the join."""
+    plan = plan_str(QS["q_price_index"].fn(spark, sf_dir))
+    aggs = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
+    assert len(aggs) >= 4  # pm rollup (partial+final) + final month rollup
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_returnflag" not in read
+
+
+def test_udtf_is_arrow_batched(spark, sf_dir):
+    plan = plan_str(QS["q_udtf_chunks"].fn(spark, sf_dir), "simple")
+    assert "BatchEvalPythonUDTF" not in plan, "UDTF must be Arrow-batched"
+    assert "EvalPythonUDTF" in plan or "ArrowEvalPythonUDTF" in plan
