@@ -601,3 +601,121 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents AS d, LATERAL chunk_docs_udtf(d.doc_id, d.text) AS c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# adversarial CSV (RFC 4180 quoting) + raw text-line source
+# ---------------------------------------------------------------------------
+
+QUOTED_CSV_PATH = os.path.join(FIXTURE_DIR, "quoted_scan.csv")
+TEXT_PATH = os.path.join(FIXTURE_DIR, "lines_scan.txt")
+
+#: RFC 4180 torture rows: embedded delimiters, doubled-quote escapes,
+#: embedded newlines (both \n and \r\n), unicode, and a QUOTED empty
+#: string (which BOTH engines read as NULL — see the docstring).
+_QUOTED_CSV = (
+    "id,name,note,amount\n"
+    "1,plain,unremarkable,1.5\n"
+    '2,"comma, inside","double "" quote",2.25\n'
+    '3,"line\nbreak","crlf\r\nbreak",3.75\n'
+    '4,"ünïcødé ✓","tab\there",4.5\n'
+    '5,"",final,0.25\n'
+)
+
+_TEXT_LINES = [
+    "plain line",
+    "comma, semicolon; tab\there",
+    'quotes "stay" literal',
+    "ünïcødé ✓ line",
+    "  leading and trailing  ",
+]
+
+
+def ensure_quoted_fixtures() -> None:
+    os.makedirs(FIXTURE_DIR, mode=0o700, exist_ok=True)
+    _install(QUOTED_CSV_PATH, _QUOTED_CSV.encode())
+    _install(TEXT_PATH, ("\n".join(_TEXT_LINES) + "\n").encode())
+
+
+ensure_quoted_fixtures()
+
+
+@register(
+    "q_scan_csv_quoted",
+    oracle=f"""
+    SELECT id,
+           name,
+           note,
+           amount,
+           CAST(LENGTH(name) AS INTEGER) AS name_len,
+           CAST(LENGTH(note) AS INTEGER) AS note_len
+    FROM read_csv('{QUOTED_CSV_PATH}', header = true,
+                  columns = {{'id': 'BIGINT', 'name': 'VARCHAR',
+                             'note': 'VARCHAR', 'amount': 'DOUBLE'}})
+    """,
+    doc="RFC 4180 CSV conformance scan: embedded delimiters, doubled-quote "
+    "escapes, embedded LF and CRLF newlines INSIDE quoted fields, "
+    "unicode, and a quoted empty string — the torture cases that "
+    "silently corrupt naive split(',') ingestion. Spark reads with "
+    "multiLine + doubled-quote escape; byte lengths are emitted so "
+    "content fidelity (not just row count) is adjudicated. Unquoted "
+    "empty fields are deliberately ABSENT: Spark and DuckDB disagree on "
+    "empty-vs-NULL for them, so the operator's contract documents "
+    "quoted-empty as the portable empty-string spelling. At 100 TB: "
+    "multiLine CSV cannot be split within a file (a quote can span any "
+    "byte range), so the scale posture is many medium files — or "
+    "re-encode to parquet at the edge, which every other query here "
+    "assumes.",
+    tags=("source",),
+)
+def q_scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ensure_quoted_fixtures()
+    df = (
+        spark.read.schema("id bigint, name string, note string, amount double")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(QUOTED_CSV_PATH)
+    )
+    return df.select(
+        "id",
+        "name",
+        "note",
+        "amount",
+        F.length("name").cast("int").alias("name_len"),
+        F.length("note").cast("int").alias("note_len"),
+    )
+
+
+@register(
+    "q_scan_text",
+    oracle=f"""
+    SELECT value,
+           CAST(LENGTH(value) AS INTEGER) AS n_chars,
+           md5(value) AS line_md5
+    FROM read_csv('{TEXT_PATH}', delim = '', header = false, quote = '',
+                  columns = {{'value': 'VARCHAR'}})
+    """,
+    doc="Raw text-line source (spark.read.text): each physical line is one "
+    "row, delimiters/quotes/whitespace preserved byte-for-byte — the "
+    "ingestion shape for log files and LLM text corpora before any "
+    "structure is imposed. Content fidelity is adjudicated via per-line "
+    "length and md5. The DuckDB oracle reads the same file as an "
+    "unquoted single-column CSV on a sentinel delimiter. At 100 TB: "
+    "newline-delimited text splits cleanly at block boundaries (unlike "
+    "multiLine CSV), so this source parallelizes to one task per split "
+    "with zero coordination.",
+    tags=("source", "text"),
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ensure_quoted_fixtures()
+    return spark.read.text(TEXT_PATH).select(
+        "value",
+        F.length("value").cast("int").alias("n_chars"),
+        F.md5("value").alias("line_md5"),
+    )

@@ -142,3 +142,27 @@ def test_udtf_chunks_matches_python(spark):
         for r in q_udtf_chunks(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_scan_csv_quoted_content_fidelity(spark):
+    from sales_data_pipeline_gcp_spark.operators.source_queries import q_scan_csv_quoted
+
+    rows = {int(r.id): r for r in q_scan_csv_quoted(spark, "unused").collect()}
+    assert rows[2].name == "comma, inside" and rows[2].note == 'double " quote'
+    assert rows[3].name == "line\nbreak" and rows[3].note == "crlf\r\nbreak"
+    assert rows[4].name == "ünïcødé ✓" and rows[4].note == "tab\there"
+    # quoted empty reads as NULL in BOTH engines (Spark nullValue=''
+    # applies to quoted fields too; DuckDB nullstr matches) — verified
+    # identical by the parity gate, documented in the query docstring
+    assert rows[5].name is None and rows[5].name_len is None
+    assert rows[4].name_len == len("ünïcødé ✓")
+
+
+def test_scan_text_preserves_raw_lines(spark):
+    from sales_data_pipeline_gcp_spark.operators.source_queries import (
+        _TEXT_LINES,
+        q_scan_text,
+    )
+
+    got = {r.value for r in q_scan_text(spark, "unused").collect()}
+    assert got == set(_TEXT_LINES)  # whitespace, quotes, delimiters intact
