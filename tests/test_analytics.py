@@ -291,7 +291,9 @@ def test_chained_index_matches_sequential_python(spark):
     for r in load(spark, SF_SMOKE, "orders").select("o_orderdate", "o_totalprice").collect():
         mon = r.o_orderdate.year * 12 + r.o_orderdate.month - 1
         monthly[mon] = monthly.get(mon, 0) + round(float(r.o_totalprice) * 100)
-    mons = sorted(monthly)
+    from sales_data_pipeline_gcp_spark.operators.sql_surface import CHAIN_MONTHS
+
+    mons = [m for m in sorted(monthly) if m > max(monthly) - CHAIN_MONTHS]
     assert [r.mon for r in rows] == mons
     idx = 100.0
     prev = None
