@@ -314,3 +314,73 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("f_view").isNotNull(), F.lit("forward"))
         .alias("direction"),
     )
+
+
+#: As-of tolerance: matches farther back than this many seconds are
+#: discarded (pandas merge_asof(tolerance=...) semantics).
+ASOF_TOLERANCE_SEC = 3 * 86400
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tns
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, epoch_ns(ts) AS tns, MAX(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_ns(ts)
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.tns // {NS_PER_SECOND} AS purchase_sec,
+           CASE WHEN p.tns - v.tns <= {ASOF_TOLERANCE_SEC * NS_PER_SECOND}
+                THEN v.view_event_id END                     AS attributed_view,
+           CASE WHEN p.tns - v.tns <= {ASOF_TOLERANCE_SEC * NS_PER_SECOND}
+                THEN (p.tns - v.tns) // {NS_PER_SECOND} END  AS gap_sec
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.tns >= v.tns
+    """,
+    doc="As-of join with TOLERANCE (pandas merge_asof(tolerance=...) "
+    "parity, completing the as-of family: backward, forward, nearest, "
+    "and now bounded-staleness backward): each purchase attributes to "
+    "the most recent prior view only if it happened within 3 days — "
+    "stale matches become NULLs, the left rows survive. The bound is "
+    "applied as a post-join null-out, so it composes with the same "
+    "one-shuffle union+window as-of core; all gap arithmetic is integer "
+    "nanoseconds. In a feature store this IS the feature-freshness "
+    "rule: a point-in-time feature older than the tolerance is treated "
+    "as missing rather than silently served stale. At 100 TB: identical "
+    "plan to q_join_asof — one shuffle on the join key — plus a narrow "
+    "conditional projection.",
+    tags=("join", "asof", "ml"),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("tns")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vtns"))
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("view_tns", F.col("vtns"))
+        .drop("vtns")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="tns",
+        right_time="view_tns",
+        right_cols=["view_event_id", "view_tns"],
+    )
+    within = F.col("tns") - F.col("view_tns") <= ASOF_TOLERANCE_SEC * NS_PER_SECOND
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr(f"tns div {NS_PER_SECOND}").alias("purchase_sec"),
+        F.when(within, F.col("view_event_id")).alias("attributed_view"),
+        F.when(within, F.expr(f"(tns - view_tns) div {NS_PER_SECOND}")).alias("gap_sec"),
+    )

@@ -48,3 +48,29 @@ def test_asof_matches_naive(spark, seed):
                 cands = [(t, rid) for (rk, t, rid) in right if rk == k and t >= lt]
                 expected = min(cands)[1] if cands else None
             assert got[lid] == expected, (seed, direction, lid, got[lid], expected)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """Tolerance variant == plain backward as-of with matches nulled when
+    the gap exceeds the bound; left rows always survive."""
+    from sales_data_pipeline_gcp_spark.operators.asof import (
+        ASOF_TOLERANCE_SEC,
+        q_join_asof,
+        q_join_asof_tolerance,
+    )
+    from tests.conftest import SF_SMOKE
+
+    plain = {r.event_id: r for r in q_join_asof(spark, SF_SMOKE).collect()}
+    tol = {r.event_id: r for r in q_join_asof_tolerance(spark, SF_SMOKE).collect()}
+    assert set(plain) == set(tol)
+    stale = fresh = 0
+    for eid, p in plain.items():
+        t = tol[eid]
+        if p.gap_sec is not None and p.gap_sec <= ASOF_TOLERANCE_SEC:
+            assert t.attributed_view == p.attributed_view and t.gap_sec == p.gap_sec
+            fresh += 1
+        else:
+            assert t.attributed_view is None and t.gap_sec is None
+            stale += 1
+    # the fixture must exercise both regimes for the test to mean anything
+    assert fresh > 0 and stale > 0
