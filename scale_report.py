@@ -69,6 +69,11 @@ QUERIES = [
     "q_spearman_corr",           # two global rank windows
     "q_label_window",            # forward-only label window
     "q_feature_hash",            # token map + user-keyed agg
+    # language-surface additions: recursion cost must stay the per-level
+    # scheduling floor (depth is a constant 12 — flat across SF is the
+    # expected signature), and the Arrow UDTF must track the corpus scan
+    "q_sql_chained_index",       # recursive CTE over materialized input
+    "q_udtf_chunks",             # Arrow-batched Python UDTF generator
 ]
 
 
