@@ -445,3 +445,93 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.sum("term_c").cast("double") / F.sum("r0_c").cast("double")
         ).alias("laspeyres_index"),
     )
+
+
+#: Item-CF pruning: pairs must co-occur in at least this many orders, and
+#: each item reports its top-K neighbors.
+CF_MIN_CO = 2
+CF_TOP_K = 3
+
+
+@register(
+    "q_item_cf",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), supports AS (
+        SELECT pk, COUNT(*) AS n FROM baskets GROUP BY pk
+    ), pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS co
+        FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= {CF_MIN_CO}
+    ), directed AS (
+        SELECT pa AS item, pb AS neighbor, co FROM pairs
+        UNION ALL
+        SELECT pb AS item, pa AS neighbor, co FROM pairs
+    ), scored AS (
+        SELECT d.item, d.neighbor, d.co,
+               CAST(d.co AS DOUBLE)
+                 / (SQRT(CAST(sa.n AS DOUBLE)) * SQRT(CAST(sb.n AS DOUBLE))) AS cosine
+        FROM directed d
+        JOIN supports sa ON d.item = sa.pk
+        JOIN supports sb ON d.neighbor = sb.pk
+    ), ranked AS (
+        SELECT item, neighbor, co, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item
+                     ORDER BY cosine DESC, neighbor ASC) AS INTEGER) AS rnk
+        FROM scored
+    )
+    SELECT item, neighbor, CAST(co AS BIGINT) AS co, cosine, rnk
+    FROM ranked WHERE rnk <= {CF_TOP_K}
+    """,
+    doc=f"Item-item collaborative filtering: cosine similarity over order "
+    "co-occurrence (co / sqrt(n_a * n_b), computed as a product of IEEE "
+    "sqrts — bit-identical cross-engine since the inputs are exact "
+    f"integer counts), minimum co-occurrence {CF_MIN_CO}, and each item's "
+    f"top-{CF_TOP_K} neighbors under a total (cosine, neighbor) order — "
+    "the classic 'customers who bought X also bought Y' recommender "
+    "table. Complements q_basket_lift: lift measures association "
+    "strength; cosine normalizes by popularity so hub items do not "
+    "dominate every neighbor list. At 100 TB: pair volume is "
+    "sum-of-k(k-1)/2 per basket (linear in orders for bounded baskets), "
+    "min-support prunes before the support joins, and the per-item rank "
+    "window is item-partitioned — fully parallel.",
+    tags=("analytics", "similarity", "join"),
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    supports = baskets.groupBy("pk").agg(F.count("*").alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= CF_MIN_CO)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "co"
+    ).unionByName(pairs.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "co"))
+    sa = supports.select(F.col("pk").alias("__ia"), F.col("n").alias("na"))
+    sb = supports.select(F.col("pk").alias("__ib"), F.col("n").alias("nb"))
+    scored = (
+        directed.join(sa, F.col("item") == F.col("__ia"))
+        .join(sb, F.col("neighbor") == F.col("__ib"))
+        .select(
+            "item",
+            "neighbor",
+            "co",
+            (
+                F.col("co").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= CF_TOP_K)
+        .select("item", "neighbor", F.col("co").cast("bigint").alias("co"), "cosine", "rnk")
+    )

@@ -817,3 +817,104 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s3").cast("double") / F.col("n3")).alias("avg_secs_from_start"),
     )
     return step1.unionByName(step2).unionByName(step3)
+
+
+@register(
+    "q_peak_concurrency",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ns(ts) // {NS_PER_SECOND} AS sec FROM events
+    ), flagged AS (
+        SELECT user_id, sec,
+               CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                         > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ), numbered AS (
+        SELECT user_id, sec,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec) AS sid
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, sid, MIN(sec) AS s_start, MAX(sec) AS s_end
+        FROM numbered GROUP BY user_id, sid
+    ), deltas AS (
+        SELECT s_start AS t, 1 AS d FROM sessions
+        UNION ALL
+        SELECT s_end + 1 AS t, -1 AS d FROM sessions
+    ), cum AS (
+        -- at equal instants the -1s apply FIRST (ORDER BY t, d ASC), so
+        -- back-to-back sessions never double-count
+        SELECT t, SUM(d) OVER (ORDER BY t, d
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM deltas
+    ), stats AS (
+        SELECT MAX(c) AS peak FROM cum
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions)      AS n_sessions,
+           CAST(peak AS BIGINT)                                 AS peak_concurrency,
+           (SELECT CAST(MIN(t) AS BIGINT) FROM cum, stats
+            WHERE c = peak)                                     AS first_peak_sec,
+           (SELECT CAST(SUM(s_end - s_start) AS DOUBLE) / COUNT(*)
+            FROM sessions)                                      AS avg_session_secs
+    FROM stats
+    """,
+    doc="Peak session concurrency (interval stabbing): sessionize each "
+    "user's events with the standard gap rule, convert every session "
+    "interval to a +1/-1 delta pair, and take the running sum over a "
+    "total (time, delta) order — max is the peak number of simultaneous "
+    "sessions, with the earliest instant it was reached; the capacity-"
+    "planning number a gaps-and-islands run-length analysis cannot give "
+    "(overlap ACROSS users is the whole point). At equal instants the "
+    "-1 applies first, so back-to-back sessions never double-count; tied "
+    "deltas permute freely without changing the prefix-sum multiset, so "
+    "the peak and its earliest time are deterministic. All integer "
+    "seconds. At 100 TB: the event stream collapses to one row per "
+    "SESSION before the global window; the documented swap for extreme "
+    "session counts is the two-pass range-partitioned cumulative sum "
+    "(per-partition totals broadcast as offsets) — same lever as "
+    "q_cumulative_users.",
+    tags=("events", "window", "analytics"),
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts div {NS_PER_SECOND}").alias("sec")
+    )
+    w_u = W.partitionBy("user_id").orderBy("sec")
+    flagged = ev.select(
+        "user_id",
+        "sec",
+        F.when(F.col("sec") - F.lag("sec").over(w_u) > SESSION_GAP_SEC, 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "sec",
+        F.sum("new_s").over(w_u.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("sid"),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.min("sec").alias("s_start"), F.max("sec").alias("s_end")
+    )
+    deltas = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select((F.col("s_end") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    w_cum = W.orderBy("t", "d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = deltas.select("t", F.sum("d").over(w_cum).alias("c"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    peaks = cum.withColumn("peak", F.max("c").over(w_all))
+    peak_row = peaks.filter(F.col("c") == F.col("peak")).groupBy("peak").agg(
+        F.min("t").cast("bigint").alias("first_peak_sec")
+    )
+    sess_stats = sessions.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        (
+            F.sum(F.col("s_end") - F.col("s_start")).cast("double") / F.count("*")
+        ).alias("avg_session_secs"),
+    )
+    return sess_stats.join(F.broadcast(peak_row)).select(
+        "n_sessions",
+        F.col("peak").cast("bigint").alias("peak_concurrency"),
+        "first_peak_sec",
+        "avg_session_secs",
+    )

@@ -304,3 +304,88 @@ def test_chained_index_matches_sequential_python(spark):
         assert abs(r.chained_index - idx) < 1e-9
         assert 0.8 - 1e-15 <= r.growth <= 1.25 + 1e-15
         prev = monthly[mon]
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    from sales_data_pipeline_gcp_spark.operators.events_queries import (
+        SESSION_GAP_SEC,
+        q_peak_concurrency,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").selectExpr("user_id", "ts div 1000000000 AS sec").collect()
+    by_user: dict[int, list[int]] = {}
+    for r in ev:
+        by_user.setdefault(int(r.user_id), []).append(int(r.sec))
+    sessions = []
+    for secs in by_user.values():
+        secs.sort()
+        start = prev = secs[0]
+        for s in secs[1:]:
+            if s - prev > SESSION_GAP_SEC:
+                sessions.append((start, prev))
+                start = s
+            prev = s
+        sessions.append((start, prev))
+    # sweep
+    deltas = sorted(
+        [(s, 1) for s, _ in sessions] + [(e + 1, -1) for _, e in sessions],
+        key=lambda x: (x[0], x[1]),
+    )
+    cur = peak = 0
+    first_peak = None
+    for t, d in deltas:
+        cur += d
+        if cur > peak:
+            peak, first_peak = cur, t
+    row = q_peak_concurrency(spark, SF_SMOKE).collect()[0]
+    assert row.n_sessions == len(sessions)
+    assert row.peak_concurrency == peak
+    assert row.first_peak_sec == first_peak
+    total = sum(e - s for s, e in sessions)
+    assert abs(row.avg_session_secs - total / len(sessions)) < 1e-9
+    assert peak > 1  # the fixture must actually overlap across users
+
+
+def test_item_cf_matches_bruteforce(spark):
+    import collections
+    import math
+
+    from sales_data_pipeline_gcp_spark.operators.analytics import (
+        CF_MIN_CO,
+        CF_TOP_K,
+        q_item_cf,
+    )
+
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey").collect()
+    baskets = collections.defaultdict(set)
+    for r in li:
+        baskets[int(r.l_orderkey)].add(int(r.l_partkey))
+    support = collections.Counter()
+    co = collections.Counter()
+    for parts in baskets.values():
+        for p in parts:
+            support[p] += 1
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                co[(a, b)] += 1
+    neigh = collections.defaultdict(list)
+    for (a, b), c in co.items():
+        if c < CF_MIN_CO:
+            continue
+        cos = c / (math.sqrt(support[a]) * math.sqrt(support[b]))
+        neigh[a].append((-cos, b, c))
+        neigh[b].append((-cos, a, c))
+    expected = {}
+    for item, lst in neigh.items():
+        lst.sort()
+        for rnk, (negcos, nb, c) in enumerate(lst[:CF_TOP_K], 1):
+            expected[(item, nb)] = (c, -negcos, rnk)
+    got = {
+        (int(r.item), int(r.neighbor)): (int(r.co), r.cosine, int(r.rnk))
+        for r in q_item_cf(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (c, cos, rnk) in expected.items():
+        gc, gcos, grnk = got[k]
+        assert gc == c and grnk == rnk and abs(gcos - cos) < 1e-12
