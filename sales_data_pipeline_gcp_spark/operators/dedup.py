@@ -1590,3 +1590,81 @@ def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reduction_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. signature-accuracy audit (estimate vs exact, per pair)
+# ---------------------------------------------------------------------------
+
+
+def _sig_match_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return terms
+
+
+@register(
+    "q_dedup_minhash_accuracy",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    {_minhash_sql().strip()},
+    {_JACCARD_PAIRS_SQL.strip()}
+    SELECT c.doc_a, c.doc_b,
+           CAST(({_sig_match_sql()}) AS BIGINT) AS n_agree,
+           CAST(({_sig_match_sql()}) AS DOUBLE) / {NUM_HASHES} AS jaccard_est,
+           j.jaccard AS jaccard_true,
+           ABS(CAST(({_sig_match_sql()}) AS DOUBLE) / {NUM_HASHES} - j.jaccard)
+               AS abs_err
+    FROM candidates c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    JOIN jaccard_pairs j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    """,
+    doc=f"MinHash signature-accuracy audit: for every LSH candidate pair, "
+    f"the sketch estimate (fraction of the {NUM_HASHES} minhashes that "
+    "agree) side by side with the exact shingle Jaccard and the absolute "
+    "error, PER PAIR — no error aggregation, so every value is a ratio "
+    "of integers or an identical IEEE subtraction and the whole audit "
+    "is bit-exact cross-engine. MEASURED FINDING (pinned in "
+    "tests/test_dedup_property.py): with the Kirsch-Mitzenmacher "
+    "double-hashed family (mh_i = min(b1 + i*b2), chosen for oracle "
+    "reproducibility at 2 md5s/row), the k coordinates are strongly "
+    "correlated — the same shingle tends to win the min for every i — "
+    "so per-pair estimates are BIMODAL (mean |err| ~0.5 on the fixture, "
+    "far over the sqrt(J(1-J)/k) binomial envelope of independent "
+    "permutations). Banding still works (bucket collisions only need "
+    "SOME coordinate agreement), which is why q_dedup_blocking_quality "
+    "shows full pair completeness — but the estimate must never "
+    "substitute for verification, and verify_jaccard's exact pass "
+    "exists precisely because of this. Production swap for calibrated "
+    "estimates: k INDEPENDENTLY seeded hashes (seeded xxhash64, "
+    "hashing.py scale note) — k times the hash cost, binomial accuracy. "
+    "At 100 TB: candidates-only, two doc_id-keyed signature joins, "
+    "audit-sample scale like the blocking audit.",
+    tags=("dedup", "llm", "eval"),
+)
+def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shs = materialize(shingle_arrays(fan_out(load(spark, sf_dir, "documents"))))
+    exploded = shs.select("doc_id", F.explode("shs").alias("shingle"))
+    sig = materialize(minhash_signatures(exploded))
+    cand = lsh_candidate_pairs(sig)
+    truth = jaccard_pairs(exploded)
+    agree = sum(
+        F.when(F.col(f"__a.mh_{i}") == F.col(f"__b.mh_{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est = agree.cast("double") / F.lit(float(NUM_HASHES))
+    return (
+        cand.join(sig.alias("__a"), F.col("doc_a") == F.col("__a.doc_id"))
+        .join(sig.alias("__b"), F.col("doc_b") == F.col("__b.doc_id"))
+        .join(truth, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("n_agree"),
+            est.alias("jaccard_est"),
+            F.col("jaccard").alias("jaccard_true"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )

@@ -335,3 +335,34 @@ def test_blocking_quality_consistent_with_minhash(spark):
     assert abs(row.pair_completeness - row.n_hit / row.n_true) < 1e-12
     assert abs(row.precision_at_block - row.n_hit / row.n_cand) < 1e-12
     assert row.reduction_ratio > 0.9  # blocking must actually block
+
+
+def test_minhash_accuracy_audit_consistency(spark):
+    """Estimates are k-quantized and errors match |est - true| exactly;
+    the documented FINDING also holds: the Kirsch-Mitzenmacher-derived
+    coordinates are correlated, so the per-pair estimator is bimodal and
+    over-dispersed vs independent permutations — the audit exists to
+    make that measurable, and verify_jaccard exists because of it."""
+    from sales_data_pipeline_gcp_spark.operators.dedup import (
+        NUM_HASHES,
+        q_dedup_minhash_accuracy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_dedup_minhash_accuracy(spark, SF_SMOKE).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        assert 0 <= r.n_agree <= NUM_HASHES
+        assert abs(r.jaccard_est - r.n_agree / NUM_HASHES) < 1e-15
+        assert abs(r.abs_err - abs(r.jaccard_est - r.jaccard_true)) < 1e-15
+        errs.append(r.abs_err)
+    import math
+
+    mean_err = sum(errs) / len(errs)
+    # independent permutations would give E|est - J| <= 0.5/sqrt(k);
+    # the KM-derived family is measurably OVER-dispersed (see docstring)
+    assert mean_err > 0.5 / math.sqrt(NUM_HASHES)
+    # and individual pairs are GROSSLY misestimated (correlated minima
+    # push est toward the extremes regardless of the true Jaccard)
+    assert max(errs) > 0.5
