@@ -492,3 +492,93 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (round 5)
+# ---------------------------------------------------------------------------
+
+#: target compaction bin size, in rows (the fixture's size unit; production
+#: uses bytes from the file listing — same arithmetic).
+_COMPACT_TARGET = 64
+#: files per partition in the simulated inventory.
+_COMPACT_FILES = 64
+
+_INVENTORY_SQL = f"""
+    files AS (
+        SELECT year(o_orderdate) * 100 + month(o_orderdate) AS part,
+               o_orderkey % {_COMPACT_FILES}                AS file_id,
+               CAST(COUNT(*) AS BIGINT)                     AS size_rows
+        FROM orders
+        GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH {_INVENTORY_SQL.strip()},
+    placed AS (
+        SELECT part, file_id, size_rows,
+               (CAST(SUM(size_rows) OVER (
+                    PARTITION BY part ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) - size_rows) // {_COMPACT_TARGET} AS bin
+        FROM files
+    )
+    SELECT part, bin,
+           CAST(COUNT(*) AS BIGINT)       AS n_files,
+           CAST(SUM(size_rows) AS BIGINT) AS bin_rows,
+           CAST(MIN(file_id) AS BIGINT)   AS first_file,
+           CAST(MAX(file_id) AS BIGINT)   AS last_file
+    FROM placed
+    GROUP BY part, bin
+    ORDER BY part, bin
+    """,
+    doc="Small-file compaction planner — the OPTIMIZE/rewrite_data_files "
+    "maintenance pass every streaming ingest eventually needs (the "
+    "reference's per-trigger CSV appends are exactly how the small-file "
+    "problem starts; scripts/main.py:25-49 re-ingests per upload). The "
+    "simulated inventory is one file per (order month, orderkey bucket) "
+    "sized in rows; the plan packs CONTIGUOUS files (ordered by file_id "
+    "within each partition) into bins via running-total div target — "
+    "one window cumsum + one group-by, both partition-local, so the "
+    "planner itself scales to any file count with a single shuffle on "
+    "the partition key. Contiguous packing is deliberate (vs first-fit-"
+    "decreasing): it preserves the files' existing sort/z-order "
+    "clustering, so compaction never undoes q_zorder_layout's work. "
+    "Bins may overshoot the target by at most one file — the standard "
+    "accepted slack in log-structured compaction. Output: per-bin file "
+    "count, row total, and the contiguous [first_file, last_file] span "
+    "it merges.",
+    tags=("layout",),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    files = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("part"),
+        (F.col("o_orderkey") % _COMPACT_FILES).alias("file_id"),
+    ).agg(F.count("*").alias("size_rows"))
+
+    w = (
+        W.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = files.withColumn("__cum", F.sum("size_rows").over(w)).withColumn(
+        "bin", F.expr(f"(__cum - size_rows) div {_COMPACT_TARGET}")
+    )
+    return (
+        placed.groupBy("part", "bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size_rows").alias("bin_rows"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("part", "bin")
+    )

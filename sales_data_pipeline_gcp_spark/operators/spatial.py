@@ -1,0 +1,163 @@
+"""Spatial operators: grid-blocked 2-D containment join.
+
+The reference pipeline routes records by a 1-D predicate (prefix/suffix
+match in scripts/main.py:21-23); the generalized engine also needs the 2-D
+analog every geo-enriched pipeline hits: "which points fall inside which
+rectangles" (store catchment areas, geofences, map tiles). The naive form
+is an all-pairs theta join — quadratic, and Spark can only execute it as a
+BroadcastNestedLoopJoin or a cartesian. The scale shape is **grid
+blocking** (the same candidates-then-verify pattern as the MinHash LSH
+family, applied to geometry):
+
+1. overlay a fixed grid of cell size G over the domain;
+2. each point hashes to exactly ONE cell (integer div — narrow map);
+3. each rectangle explodes to the cells it COVERS (bounded fan-out: with
+   box width capped below G, at most 2x2 = 4 cells per box);
+4. equi-join on the cell key, then verify exact containment with the
+   BETWEEN predicate on the survivors only.
+
+The equi-join gives Catalyst a hash-joinable key, so the plan is a
+broadcast hash join (small box side) or a plain shuffle hash join at
+scale — never a nested loop. Candidate count per point is the number of
+boxes overlapping its cell, not the box count; with boxes bounded by G the
+grid guarantees each point meets only boxes within one cell of it. This is
+the public "spatial join via space partitioning" design (grid files /
+quadtrees flattened to a fixed level); at 100 TB both sides partition by
+cell and the join co-locates, with skewed cells (dense cities) handled by
+the same AQE skew splitting as any equi-join.
+
+Coordinates are derived deterministically from fixture keys with pure
+integer congruences (Lehmer-style multipliers mod the domain size), so
+both engines compute bit-identical geometry — no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.plans.registry import register
+
+#: square domain [0, _DOMAIN) on both axes.
+_DOMAIN = 100_000
+#: grid cell size; box half-extent is capped at _CELL // 2 - 1 below so a
+#: box spans at most 2 cells per axis (4 candidate cells total).
+_CELL = 5_000
+#: integer multipliers scattering fixture keys over the domain (classic
+#: Lehmer/Park-Miller constants — used as mixers, not as RNG state).
+_PX, _PY = 48271, 16807
+_BX, _BY = 69621, 40692
+
+#: half-extent = 500 + (suppkey % 7) * 250 in [500, 2000]: every box is
+#: narrower than one 5000-unit cell, bounding the explode fan-out at 4.
+_HALF_SQL = "500 + (s_suppkey % 7) * 250"
+
+_GEOM_SQL = f"""
+    pts AS (
+        SELECT c_custkey,
+               (c_custkey * {_PX}) % {_DOMAIN} AS x,
+               (c_custkey * {_PY}) % {_DOMAIN} AS y
+        FROM customer
+    ),
+    boxes AS (
+        SELECT s_suppkey AS box_id,
+               (s_suppkey * {_BX}) % {_DOMAIN} - ({_HALF_SQL}) AS x_lo,
+               (s_suppkey * {_BX}) % {_DOMAIN} + ({_HALF_SQL}) AS x_hi,
+               (s_suppkey * {_BY}) % {_DOMAIN} - ({_HALF_SQL}) AS y_lo,
+               (s_suppkey * {_BY}) % {_DOMAIN} + ({_HALF_SQL}) AS y_hi
+        FROM supplier
+    )"""
+
+
+@register(
+    "q_spatial_join",
+    oracle=f"""
+    WITH {_GEOM_SQL.strip()}
+    SELECT b.box_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_points,
+           CAST(SUM(p.c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(MIN(p.c_custkey) AS BIGINT) AS min_custkey
+    FROM boxes b JOIN pts p
+      ON p.x BETWEEN b.x_lo AND b.x_hi
+     AND p.y BETWEEN b.y_lo AND b.y_hi
+    GROUP BY b.box_id
+    ORDER BY b.box_id
+    """,
+    doc="Grid-blocked spatial containment join: customer points vs "
+    "supplier rectangles on a 100k x 100k integer domain. Spark never "
+    "evaluates the quadratic BETWEEN theta join: each point maps to one "
+    f"grid cell (x div {_CELL}, y div {_CELL}), each box explodes to the "
+    "<= 4 cells it can touch (half-extent < cell/2 by construction), and "
+    "the containment check runs only on cell-equal candidate pairs — an "
+    "equi-join Catalyst turns into a broadcast hash join here (the "
+    "exploded box side is dim-sized) and a cell-partitioned shuffle join "
+    "at scale, with AQE splitting dense-city cell skew. The DuckDB "
+    "oracle runs the straightforward theta join, proving the blocked "
+    "plan loses no pairs. Coordinates are integer congruences of the "
+    "keys, bit-identical across engines.",
+    tags=("spatial", "join"),
+)
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * _PX) % _DOMAIN).alias("x"),
+        ((F.col("c_custkey") * _PY) % _DOMAIN).alias("y"),
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        F.expr(f"x div {_CELL}").alias("cx"),
+        F.expr(f"y div {_CELL}").alias("cy"),
+    )
+
+    half = F.expr(_HALF_SQL)
+    boxes = supp.select(
+        F.col("s_suppkey").alias("box_id"),
+        ((F.col("s_suppkey") * _BX) % _DOMAIN - half).alias("x_lo"),
+        ((F.col("s_suppkey") * _BX) % _DOMAIN + half).alias("x_hi"),
+        ((F.col("s_suppkey") * _BY) % _DOMAIN - half).alias("y_lo"),
+        ((F.col("s_suppkey") * _BY) % _DOMAIN + half).alias("y_hi"),
+    )
+    # Cells covered by each box, clamped to the domain: lo can be negative
+    # and hi can exceed the domain near the edges, but points only exist in
+    # [0, _DOMAIN), so clamping before the div never drops a matchable cell
+    # (and keeps the sequence() fan-out at the guaranteed <= 2 per axis).
+    covered = boxes.select(
+        "box_id",
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"greatest(x_lo, 0) div {_CELL}"),
+                F.expr(f"least(x_hi, {_DOMAIN - 1}) div {_CELL}"),
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"greatest(y_lo, 0) div {_CELL}"),
+                F.expr(f"least(y_hi, {_DOMAIN - 1}) div {_CELL}"),
+            )
+        ).alias("cy"),
+    )
+
+    matched = pts.join(F.broadcast(covered), on=["cx", "cy"], how="inner").filter(
+        F.col("x").between(F.col("x_lo"), F.col("x_hi"))
+        & F.col("y").between(F.col("y_lo"), F.col("y_hi"))
+    )
+    return (
+        matched.groupBy("box_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("c_custkey").alias("sum_custkey"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .orderBy("box_id")
+    )

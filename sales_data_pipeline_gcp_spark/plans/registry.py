@@ -86,6 +86,7 @@ def _load_all_modules() -> None:
         "sales_data_pipeline_gcp_spark.operators.analytics",
         "sales_data_pipeline_gcp_spark.operators.distribution",
         "sales_data_pipeline_gcp_spark.operators.mlprep",
+        "sales_data_pipeline_gcp_spark.operators.spatial",
     ):
         importlib.import_module(mod)
 
@@ -203,6 +204,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_label_window, q_train_test_split, q_tv_drift, q_window_median,
     # q_dedup_blocking_quality, q_feature_hash, q_lift_curve,
     # q_funnel_steps, q_xyz_analysis, q_price_index, q_window_hampel,
+    # the closing pair q_spatial_join + q_compaction_plan,
     # and the rows-only q_stream_dedup), then the displaced refresh
     # backlog (r1 greens before r2 greens). All keep sf0.01 oracle
     # parity cover via tests/test_parity.py meanwhile.
