@@ -554,10 +554,18 @@ SSSP_MAX_HOPS = 3
     "round joins the previous frontier to the edge list, unions, and "
     "takes MIN(dist) per node, localCheckpoint-truncating lineage per "
     "round — the iteration count is the hop cap, a CONSTANT, never "
-    "data-dependent driver control flow. The DuckDB oracle is a "
-    "completely independent recursive-CTE formulation of the same "
-    "bounded-depth reachability fixpoint. At 100 TB: each BFS round is "
-    "one equi-join shuffle keyed on node id; frontier-only expansion "
+    "data-dependent driver control flow. Spark NEVER materializes the "
+    "customer-customer projection the oracle's cc CTE builds: one "
+    "projection hop is expanded as two bipartite hops (frontier -> its "
+    "suppliers, distinct -> their customers), so per-round cost is two "
+    "equi-joins against the degree-bounded EDGE list instead of a "
+    "self-join whose output is quadratic in per-supplier degree — on a "
+    "graph with hub suppliers the projection explodes while the "
+    "bipartite expansion stays linear in edges, which is why this is "
+    "the only BFS shape that survives 100 TB. The DuckDB oracle is a "
+    "completely independent recursive-CTE formulation over the "
+    "materialized projection, so the equivalence of the two graph "
+    "representations is itself adjudicated. Frontier-only expansion "
     "(nodes at exactly d-1) keeps round cost proportional to the "
     "frontier, and the degree cap bounds the fan-out the way hub "
     "sparsification always must at scale.",
@@ -581,22 +589,19 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KHOP_TOP_SUPPLIERS)
         .select("c", "s")
     )
-    p1 = edges.alias("p1")
-    p2 = edges.alias("p2")
-    cc = (
-        p1.join(p2, (F.col("p1.s") == F.col("p2.s")) & (F.col("p1.c") != F.col("p2.c")))
-        .select(F.col("p1.c").alias("a"), F.col("p2.c").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = edges.localCheckpoint(eager=True)
     src = edges.agg(F.min("c")).collect()[0][0]  # one scalar, config-sized
     dist = spark.createDataFrame([(src, 0)], "c bigint, d int").localCheckpoint(eager=True)
     for r in range(1, SSSP_MAX_HOPS + 1):
-        frontier = (
+        # one projection hop = two bipartite hops; the distinct supplier
+        # frontier is bounded by the supplier dimension, never pair counts
+        sup = (
             dist.filter(F.col("d") == r - 1)
-            .join(cc, F.col("c") == F.col("a"))
-            .select(F.col("b").alias("c"), F.lit(r).alias("d"))
+            .join(edges, "c")
+            .select("s")
+            .distinct()
         )
+        frontier = sup.join(edges, "s").select("c", F.lit(r).alias("d"))
         dist = (
             dist.unionByName(frontier)
             .groupBy("c")
