@@ -190,3 +190,90 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.from_json("props", "k BIGINT")["k"].alias("k_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured log parsing round-trip (round 5)
+# ---------------------------------------------------------------------------
+
+#: access-log line synthesized from orders with dialect-neutral SQL (runs
+#: verbatim in Spark and DuckDB): ip - - [ts] "METHOD /path?u=id PROTO"
+#: status bytes. The cents modulus goes through DECIMAL(38,0) so the
+#: double->integer rounding is half-up in BOTH engines (the repo-wide
+#: cents idiom), and every varying field round-trips through the parse.
+_LOG_LINE_SQL = (
+    "'10.' || CAST(o_custkey % 251 AS STRING) || '.0.1 - - "
+    "[01/Jan/1996:00:00:00] \"' || "
+    "CASE CAST(o_custkey % 4 AS INTEGER) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' "
+    "WHEN 2 THEN 'PUT' ELSE 'DELETE' END || "
+    "' /orders/' || CAST(o_orderkey AS STRING) || '?u=' || "
+    "CAST(o_custkey AS STRING) || ' HTTP/1.1\" ' || "
+    "CAST(200 + (o_orderkey % 3) * 102 AS STRING) || ' ' || "
+    "CAST(CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) AS BIGINT) % 10000 "
+    "AS STRING)"
+)
+
+#: parse patterns — Java-regex/RE2 common subset (explicit classes, no
+#: shorthand escapes, no lookaround), same contract as q_text_redact.
+_LOG_METHOD_RE = '"([A-Z]+) '
+_LOG_USER_RE = "u=([0-9]+)"
+_LOG_STATUS_RE = '" ([0-9]+) '
+_LOG_BYTES_RE = " ([0-9]+)$"
+
+
+@register(
+    "q_parse_logs",
+    oracle=f"""
+    WITH lines AS (
+        SELECT {_LOG_LINE_SQL} AS line FROM orders
+    ),
+    parsed AS (
+        SELECT regexp_extract(line, '{_LOG_METHOD_RE}', 1)                 AS method,
+               CAST(regexp_extract(line, '{_LOG_STATUS_RE}', 1) AS BIGINT) AS status,
+               CAST(regexp_extract(line, '{_LOG_USER_RE}', 1) AS BIGINT)   AS user_id,
+               CAST(regexp_extract(line, '{_LOG_BYTES_RE}', 1) AS BIGINT)  AS n_bytes
+        FROM lines
+    )
+    SELECT method, status,
+           CAST(COUNT(*) AS BIGINT)                 AS n_requests,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS n_users,
+           CAST(SUM(n_bytes) AS BIGINT)             AS total_bytes
+    FROM parsed
+    GROUP BY method, status
+    ORDER BY method, status
+    """,
+    doc="Semi-structured access-log ETL round-trip: synthesize an Apache-"
+    "style log line per order with ONE dialect-neutral SQL expression "
+    "both engines run verbatim, then recover every typed field by regex "
+    "(method, status, user id, byte count) and aggregate per (method, "
+    "status) cell. Patterns stay in the Java-regex/RE2 common subset "
+    "(explicit character classes, anchors only) — the same cross-engine "
+    "contract q_text_redact established — so extraction is bit-identical. "
+    "The whole pipeline is narrow maps into one partial-aggregated "
+    "shuffle; regexp_extract is a JVM codegen expression, so at 100 TB "
+    "log parsing runs at scan speed with zero Python. The aggregate "
+    "compares every parsed field against the generator's value space, "
+    "making silent parse drift (lost rows, truncated captures, "
+    "mis-anchored groups) show up as a hash mismatch.",
+    tags=("scalar", "text"),
+)
+def q_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lines = orders.select(F.expr(_LOG_LINE_SQL).alias("line"))
+    parsed = lines.select(
+        F.regexp_extract("line", _LOG_METHOD_RE, 1).alias("method"),
+        F.regexp_extract("line", _LOG_STATUS_RE, 1).cast("bigint").alias("status"),
+        F.regexp_extract("line", _LOG_USER_RE, 1).cast("bigint").alias("user_id"),
+        F.regexp_extract("line", _LOG_BYTES_RE, 1).cast("bigint").alias("n_bytes"),
+    )
+    return (
+        parsed.groupBy("method", "status")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("method", "status")
+    )

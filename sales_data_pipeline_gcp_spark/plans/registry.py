@@ -204,7 +204,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_label_window, q_train_test_split, q_tv_drift, q_window_median,
     # q_dedup_blocking_quality, q_feature_hash, q_lift_curve,
     # q_funnel_steps, q_xyz_analysis, q_price_index, q_window_hampel,
-    # the closing pair q_spatial_join + q_compaction_plan,
+    # the closing trio q_spatial_join + q_compaction_plan + q_parse_logs,
     # and the rows-only q_stream_dedup), then the displaced refresh
     # backlog (r1 greens before r2 greens). All keep sf0.01 oracle
     # parity cover via tests/test_parity.py meanwhile.

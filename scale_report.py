@@ -74,6 +74,12 @@ QUERIES = [
     # expected signature), and the Arrow UDTF must track the corpus scan
     "q_sql_chained_index",       # recursive CTE over materialized input
     "q_udtf_chunks",             # Arrow-batched Python UDTF generator
+    # round-5 closing pair + the bipartite BFS rewrite: the spatial join
+    # must scale with points (the box side is dim-sized), the compaction
+    # planner with the file inventory, and BFS with the edge list
+    "q_spatial_join",            # grid-blocked containment equi-join
+    "q_compaction_plan",         # window cumsum bin packing
+    "q_graph_sssp",              # bipartite frontier BFS (no projection)
 ]
 
 
