@@ -228,3 +228,150 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.coalesce("xor_a", F.lit(0)) != F.coalesce("xor_b", F.lit(0)))
         )
     )
+
+
+# --- CDC changelog compaction ----------------------------------------------
+
+#: every 10th change event is a tombstone (delete) — deterministic, so the
+#: oracle replays the same log.
+CDC_DELETE_MOD = 10
+
+
+@register(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH log AS (
+        SELECT o_custkey AS key,
+               o_orderkey AS change_id,
+               o_orderdate AS changed_at,
+               o_totalprice AS value,
+               CASE WHEN o_orderkey % {CDC_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+        FROM orders
+    ), ranked AS (
+        SELECT key, change_id, value, op,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY changed_at DESC, change_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_changes
+        FROM log
+    )
+    SELECT key AS custkey, change_id AS last_change_id, value, n_changes
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+    doc="CDC changelog compaction — the read-side of every Debezium-style "
+    "ingest: a log of per-key change events (upserts + tombstones, here "
+    f"synthesized deterministically from orders with every {CDC_DELETE_MOD}th "
+    "change a delete) collapses to the current snapshot by last-writer-wins: "
+    "keep each key's latest event by (event_time, change_id) — the unique-id "
+    "tiebreak makes same-timestamp races deterministic in both engines — and "
+    "drop keys whose final event is a tombstone. One shuffle on the key, one "
+    "sorted pass per key (the same shape Flink's changelog normalize and "
+    "Delta's CDF compaction use). Distinct from q_merge_upsert, which applies "
+    "an already-compacted batch TO a target; this query produces that batch "
+    "from the raw log. At 100 TB the log is ingested partitioned by key and "
+    "compaction is per-partition with no further exchange; AQE splits hot "
+    "keys.",
+    tags=("merge", "warehouse"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    log = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("change_id"),
+        F.col("o_orderdate").alias("changed_at"),
+        F.col("o_totalprice").alias("value"),
+        F.when(F.col("o_orderkey") % CDC_DELETE_MOD == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = W.partitionBy("key")
+    ranked = log.select(
+        "key",
+        "change_id",
+        "value",
+        "op",
+        F.row_number()
+        .over(w.orderBy(F.col("changed_at").desc(), F.col("change_id").desc()))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_changes"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        F.col("key").alias("custkey"),
+        F.col("change_id").alias("last_change_id"),
+        "value",
+        "n_changes",
+    )
+
+
+# --- entity-resolution survivorship (golden record) ------------------------
+
+#: synthetic duplicate clusters: customers agreeing mod this prime are
+#: treated as one real-world entity (every cluster has several members at
+#: every fixture SF, so each survivorship rule actually arbitrates).
+SURV_CLUSTER_MOD = 929
+
+
+@register(
+    "q_survivorship",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey % {SURV_CLUSTER_MOD} AS cluster_id,
+               c_custkey, c_name, c_acctbal, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey % {SURV_CLUSTER_MOD}
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    )
+    SELECT cluster_id,
+           CAST(MIN(c_custkey) AS BIGINT)        AS record_id,
+           CAST(COUNT(*) AS BIGINT)              AS n_members,
+           MAX(c_acctbal)                        AS best_acctbal,
+           MAX(CASE WHEN rn = 1 THEN c_mktsegment END) AS segment,
+           MIN(c_name)                           AS first_name
+    FROM members
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    doc="Entity-resolution survivorship (golden-record merge) — the step "
+    "AFTER dedup clustering (q_dedup_clusters) that MDM pipelines run: each "
+    "duplicate cluster collapses to ONE golden record with field-level "
+    "rules arbitrating between members. Rules demonstrated: record id = "
+    "oldest member (MIN key), balance = numeric MAX, segment = donated by "
+    "the most-trusted member (highest balance, key-ASC tiebreak via "
+    "ROW_NUMBER so both engines pick the same donor), name = "
+    "lexicographic first. Clusters are synthesized by a mod-prime "
+    "congruence so every cluster has multiple members and each rule "
+    "genuinely arbitrates. Shape: one window + one hash aggregate over "
+    "the same key — Catalyst reuses the single shuffle, partial aggregation "
+    "applies map-side, and at 100 TB skewed clusters split under AQE. "
+    "MAX/MIN on doubles are exact (no accumulation), so the result is "
+    "bit-identical cross-engine.",
+    tags=("merge", "dedup"),
+)
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    members = c.select(
+        (F.col("c_custkey") % SURV_CLUSTER_MOD).alias("cluster_id"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+        )
+    )
+    return (
+        members.withColumn("rn", rn)
+        .groupBy("cluster_id")
+        .agg(
+            F.min("c_custkey").alias("record_id"),
+            F.count("*").alias("n_members"),
+            F.max("c_acctbal").alias("best_acctbal"),
+            F.max(F.when(F.col("rn") == 1, F.col("c_mktsegment"))).alias("segment"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("cluster_id")
+    )

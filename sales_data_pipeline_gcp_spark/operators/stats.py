@@ -1089,3 +1089,94 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma.alias("sigma_u"),
         ((u1 - mu) / sigma).alias("z"),
     )
+
+
+# --- referential-integrity audit -------------------------------------------
+
+
+def _ri_audit(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
+    """One relationship's integrity row: orphaned child rows (FK value with
+    no parent) and childless parent keys, from ONE full outer join of the
+    child's per-key counts against the parent key set. The child aggregates
+    to distinct FK values first, so the join moves |keys| rows, not |child|;
+    parent key sets are dim-sized here and broadcast."""
+    ca = child.groupBy(F.col(fk).alias("k")).agg(F.count("*").alias("cnt"))
+    pa = parent.select(F.col(pk).alias("k"), F.lit(1).alias("has_parent"))
+    j = ca.join(pa, "k", "full")
+    agg = j.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child"),
+        F.coalesce(F.sum(F.when(F.col("has_parent").isNull(), F.col("cnt"))), F.lit(0)).alias(
+            "n_orphan_rows"
+        ),
+        F.count(F.when(F.col("has_parent").isNull() & F.col("cnt").isNotNull(), 1)).alias(
+            "n_orphan_keys"
+        ),
+        F.coalesce(F.sum("has_parent"), F.lit(0)).cast("bigint").alias("n_parents"),
+        F.count(F.when(F.col("cnt").isNull(), 1)).alias("n_childless_parents"),
+    )
+    return agg.select(
+        F.lit(name).alias("relation"),
+        "n_child",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        "n_parents",
+        "n_childless_parents",
+    )
+
+
+@register(
+    "q_dq_referential",
+    oracle="""
+    WITH rel AS (
+        SELECT 'lineitem->orders' AS relation, l_orderkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'orders->customer' AS relation, o_custkey AS k FROM orders
+    ), par AS (
+        SELECT 'lineitem->orders' AS relation, o_orderkey AS k FROM orders
+        UNION ALL
+        SELECT 'orders->customer' AS relation, c_custkey AS k FROM customer
+    ), ca AS (
+        SELECT relation, k, COUNT(*) AS cnt FROM rel GROUP BY relation, k
+    ), pa AS (
+        SELECT relation, k, 1 AS has_parent FROM par
+    ), j AS (
+        SELECT COALESCE(ca.relation, pa.relation) AS relation,
+               ca.cnt AS cnt, pa.has_parent AS has_parent
+        FROM ca FULL OUTER JOIN pa
+          ON ca.relation = pa.relation AND ca.k = pa.k
+    )
+    SELECT relation,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_child,
+           CAST(COALESCE(SUM(CASE WHEN has_parent IS NULL THEN cnt END), 0) AS BIGINT)
+               AS n_orphan_rows,
+           CAST(COUNT(CASE WHEN has_parent IS NULL AND cnt IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_orphan_keys,
+           CAST(COALESCE(SUM(has_parent), 0) AS BIGINT) AS n_parents,
+           CAST(COUNT(CASE WHEN cnt IS NULL THEN 1 END) AS BIGINT) AS n_childless_parents
+    FROM j
+    GROUP BY relation
+    ORDER BY relation
+    """,
+    doc="Referential-integrity audit — the data-quality check every "
+    "warehouse load gate runs alongside column profiling (q_dq_profile): "
+    "for each declared FK relationship (lineitem->orders, "
+    "orders->customer) count orphaned child rows / distinct orphan keys "
+    "(FK value with no parent) and childless parent keys, in ONE pass "
+    "per relation. The child side pre-aggregates to distinct FK values, "
+    "so the integrity join moves |distinct keys| rows instead of the "
+    "fact table; the full outer join yields both directions (orphans "
+    "AND childless) from the same exchange. At 100 TB this is two "
+    "scans + a key-sized join per relation — the same cost class as "
+    "the load itself — and clean relations report all-zero orphan "
+    "columns, making the audit a cheap invariant gate. All counts are "
+    "exact integers, bit-identical cross-engine.",
+    tags=("dq", "join"),
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rows = _ri_audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders").unionByName(
+        _ri_audit(o, "o_custkey", c, "c_custkey", "orders->customer")
+    )
+    return rows.orderBy("relation")

@@ -460,3 +460,172 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.when(guard, cov / (F.sqrt(varx) * F.sqrt(vary))).alias("acf"),
     )
+
+
+# --- interval calendarization (prorate spans across months) -----------------
+
+#: fulfillment-window length synthesized per order: 10..99 days, so most
+#: intervals straddle 1-4 month boundaries and the proration genuinely
+#: splits.
+_CAL_SPAN_SQL = "o_orderkey % 90 + 10"
+
+
+@register(
+    "q_calendarize",
+    oracle=f"""
+    WITH spans AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d0,
+               CAST(o_orderdate AS DATE) + CAST({_CAL_SPAN_SQL} AS INTEGER) AS d1
+        FROM orders
+    ), exploded AS (
+        SELECT o_orderkey, d0, d1,
+               CAST(gs.m AS DATE) AS month_start
+        FROM spans,
+             generate_series(date_trunc('month', d0),
+                             date_trunc('month', d1),
+                             INTERVAL 1 MONTH) AS gs(m)
+    )
+    SELECT month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(date_diff('day',
+                              GREATEST(d0, month_start),
+                              LEAST(d1, last_day(month_start))) + 1)
+                AS BIGINT) AS covered_days
+    FROM exploded
+    GROUP BY month_start
+    ORDER BY month_start
+    """,
+    doc="Interval calendarization — proration of a validity span across "
+    "the calendar months it straddles (revenue recognition, subscription "
+    "billing, occupancy): each order carries a deterministic fulfillment "
+    "window [start, start + 10..99 days], explodes to the months it "
+    "covers via sequence(date_trunc month .. month, 1 month), and each "
+    "month row gets the exact integer day-count overlap "
+    "(least(end, month_end) - greatest(start, month_start) + 1). The "
+    "explode fan-out is bounded by span/28 + 1 <= 5 rows per interval — "
+    "a narrow map, no join — followed by one partial-aggregated shuffle "
+    "on the month. Calendar arithmetic (date_trunc / last_day / date "
+    "comparison) is integer-exact in both engines; no timestamps or "
+    "timezones enter (dates only), so results are bit-identical. At "
+    "100 TB this is the standard scan-shaped allocation pass; months "
+    "are low-cardinality so the final aggregate is map-side combined "
+    "into a handful of groups.",
+    tags=("timeseries", "scalar"),
+)
+def q_calendarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d0")
+    )
+    spans = o.select(
+        "o_orderkey",
+        "d0",
+        F.date_add(F.col("d0"), F.expr(_CAL_SPAN_SQL).cast("int")).alias("d1"),
+    )
+    exploded = spans.select(
+        "o_orderkey",
+        "d0",
+        "d1",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col("d0")).cast("date"),
+                F.date_trunc("month", F.col("d1")).cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start"),
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("d1"), F.last_day("month_start")),
+            F.greatest(F.col("d0"), F.col("month_start")),
+        )
+        + 1
+    )
+    return (
+        exploded.groupBy("month_start")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(overlap.cast("bigint")).alias("covered_days"),
+        )
+        .orderBy("month_start")
+    )
+
+
+# --- capped running sum (Lindley transform) ---------------------------------
+
+#: events deposit (+) or draw down (-) an account in integer cents;
+#: purchases and errors debit, everything else credits. Deterministic sign
+#: rule so the oracle replays the same ledger.
+_LEDGER_DELTA_SQL = (
+    "CASE WHEN event_type IN ('purchase', 'error') THEN -1 ELSE 1 END * "
+    "CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT)"
+)
+
+
+@register(
+    "q_capped_runsum",
+    oracle=f"""
+    WITH ledger AS (
+        SELECT user_id, event_id,
+               {_LEDGER_DELTA_SQL} AS delta
+        FROM events
+    ), pref AS (
+        SELECT user_id, event_id,
+               SUM(delta) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM ledger
+    ), bal AS (
+        SELECT user_id,
+               s - LEAST(MIN(s) OVER (PARTITION BY user_id ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         0) AS balance
+        FROM pref
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)   AS n_events,
+           CAST(MAX(balance) AS BIGINT) AS peak_balance_cents,
+           CAST(SUM(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floored
+    FROM bal
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Floor-clamped running balance (stock ledger / wallet semantics): "
+    "b_i = max(0, b_{i-1} + delta_i) looks like an inherently sequential "
+    "per-key recursion — the shape that tempts a per-group Python loop — "
+    "but the Lindley recursion has the closed form b_i = S_i - min(0, "
+    "min_{j<=i} S_j) over plain prefix sums, so it is TWO stacked window "
+    "functions (running sum, then running min of that sum) in pure JVM "
+    "codegen: one shuffle on the key, one sort, no Python, no recursion. "
+    "Deltas are exact integer cents with a deterministic sign rule "
+    "(purchases/errors debit), ordered by the unique event id; the "
+    "half-up double->cents rounding goes through DECIMAL(38,0) in both "
+    "engines. Output is per-user final-state stats: event count, peak "
+    "balance, and how many times the floor clamped. At 100 TB this is "
+    "the same cost as any per-key window — and the closed form is what "
+    "makes the op distributable at all.",
+    tags=("timeseries", "window"),
+)
+def q_capped_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ledger = ev.select("user_id", "event_id", F.expr(_LEDGER_DELTA_SQL).alias("delta"))
+    # both windows share (key, order), so Catalyst evaluates them in ONE
+    # shuffle + ONE sort: the running sum, then the running min of it.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = ledger.select("user_id", "event_id", F.sum("delta").over(w).alias("s"))
+    bal = pref.select(
+        "user_id",
+        (F.col("s") - F.least(F.min("s").over(w), F.lit(0))).alias("balance"),
+    )
+    return (
+        bal.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("balance").alias("peak_balance_cents"),
+            F.sum(F.when(F.col("balance") == 0, 1).otherwise(0)).alias("n_floored"),
+        )
+        .orderBy("user_id")
+    )
