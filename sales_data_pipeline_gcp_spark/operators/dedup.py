@@ -1540,10 +1540,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_true AS BIGINT) AS n_true,
            CAST(n_cand AS BIGINT) AS n_cand,
            CAST(n_hit AS BIGINT)  AS n_hit,
-           CAST(n_hit AS DOUBLE) / n_true AS pair_completeness,
-           CAST(n_hit AS DOUBLE) / n_cand AS precision_at_block,
+           CAST(n_hit AS DOUBLE) / NULLIF(n_true, 0) AS pair_completeness,
+           CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS precision_at_block,
            1.0 - CAST(n_cand AS DOUBLE)
-                   / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) AS reduction_ratio
+                   / NULLIF(CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 0)
+               AS reduction_ratio
     FROM counts
     """,
     doc="Blocking-quality evaluation of the MinHash/LSH candidate generator "
@@ -1584,11 +1585,18 @@ def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").cast("bigint").alias("n_true"),
         F.col("n_cand").cast("bigint").alias("n_cand"),
         F.col("n_hit").cast("bigint").alias("n_hit"),
-        (F.col("n_hit").cast("double") / F.col("n_true")).alias("pair_completeness"),
-        (F.col("n_hit").cast("double") / F.col("n_cand")).alias("precision_at_block"),
-        (F.lit(1.0) - F.col("n_cand").cast("double") / total_pairs.cast("double")).alias(
-            "reduction_ratio"
+        # NULL (not inf/nan) on empty truth/candidate sets, matching the
+        # oracle's NULLIF guards — DuckDB would emit IEEE inf on a bare /0.
+        F.when(F.col("n_true") != 0, F.col("n_hit").cast("double") / F.col("n_true")).alias(
+            "pair_completeness"
         ),
+        F.when(F.col("n_cand") != 0, F.col("n_hit").cast("double") / F.col("n_cand")).alias(
+            "precision_at_block"
+        ),
+        F.when(
+            total_pairs != 0,
+            F.lit(1.0) - F.col("n_cand").cast("double") / total_pairs.cast("double"),
+        ).alias("reduction_ratio"),
     )
 
 

@@ -741,13 +741,13 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sums
     UNION ALL
     SELECT 2, 'click', CAST(n2 AS BIGINT),
-           CAST(n2 AS DOUBLE) / n1, CAST(n2 AS DOUBLE) / n1,
-           CAST(s2 AS DOUBLE) / n2
+           CAST(n2 AS DOUBLE) / NULLIF(n1, 0), CAST(n2 AS DOUBLE) / NULLIF(n1, 0),
+           CAST(s2 AS DOUBLE) / NULLIF(n2, 0)
     FROM sums
     UNION ALL
     SELECT 3, 'purchase', CAST(n3 AS BIGINT),
-           CAST(n3 AS DOUBLE) / n2, CAST(n3 AS DOUBLE) / n1,
-           CAST(s3 AS DOUBLE) / n3
+           CAST(n3 AS DOUBLE) / NULLIF(n2, 0), CAST(n3 AS DOUBLE) / NULLIF(n1, 0),
+           CAST(s3 AS DOUBLE) / NULLIF(n3, 0)
     FROM sums
     """,
     doc="Three-step strict-sequence funnel (view -> click at-or-after the "
@@ -804,17 +804,31 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("step"),
         F.lit("click").alias("event_type"),
         F.col("n2").cast("bigint").alias("n_users"),
-        (F.col("n2").cast("double") / F.col("n1")).alias("conv_from_prev"),
-        (F.col("n2").cast("double") / F.col("n1")).alias("conv_from_start"),
-        (F.col("s2").cast("double") / F.col("n2")).alias("avg_secs_from_start"),
+        # NULL on an empty upstream step, matching the oracle's NULLIF —
+        # DuckDB emits IEEE inf/nan on a bare /0, a cross-engine mismatch.
+        F.when(F.col("n1") != 0, F.col("n2").cast("double") / F.col("n1")).alias(
+            "conv_from_prev"
+        ),
+        F.when(F.col("n1") != 0, F.col("n2").cast("double") / F.col("n1")).alias(
+            "conv_from_start"
+        ),
+        F.when(F.col("n2") != 0, F.col("s2").cast("double") / F.col("n2")).alias(
+            "avg_secs_from_start"
+        ),
     )
     step3 = sums.select(
         F.lit(3).alias("step"),
         F.lit("purchase").alias("event_type"),
         F.col("n3").cast("bigint").alias("n_users"),
-        (F.col("n3").cast("double") / F.col("n2")).alias("conv_from_prev"),
-        (F.col("n3").cast("double") / F.col("n1")).alias("conv_from_start"),
-        (F.col("s3").cast("double") / F.col("n3")).alias("avg_secs_from_start"),
+        F.when(F.col("n2") != 0, F.col("n3").cast("double") / F.col("n2")).alias(
+            "conv_from_prev"
+        ),
+        F.when(F.col("n1") != 0, F.col("n3").cast("double") / F.col("n1")).alias(
+            "conv_from_start"
+        ),
+        F.when(F.col("n3") != 0, F.col("s3").cast("double") / F.col("n3")).alias(
+            "avg_secs_from_start"
+        ),
     )
     return step1.unionByName(step2).unionByName(step3)
 

@@ -307,8 +307,9 @@ def _sql_weekdays_before(day_expr: str, div: str) -> str:
     oracle=f"""
     WITH spans AS (
         SELECT o_orderpriority,
-               epoch(o_orderdate) // 86400 AS d0,
-               epoch(o_orderdate) // 86400 + ({_BIZ_SPAN_SQL}) AS d1
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS d0,
+               date_diff('day', DATE '1970-01-01', o_orderdate)
+                   + ({_BIZ_SPAN_SQL}) AS d1
         FROM orders
     ), counted AS (
         SELECT o_orderpriority,

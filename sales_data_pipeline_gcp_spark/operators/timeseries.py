@@ -479,14 +479,17 @@ _CAL_SPAN_SQL = "o_orderkey % 90 + 10"
                CAST(o_orderdate AS DATE) + CAST({_CAL_SPAN_SQL} AS INTEGER) AS d1
         FROM orders
     ), exploded AS (
+        -- scalar-list UNNEST form: DuckDB 1.0.0 rejects the lateral
+        -- table-function generate_series with column parameters
+        -- ("does not support lateral join column parameters").
         SELECT o_orderkey, d0, d1,
-               CAST(gs.m AS DATE) AS month_start
-        FROM spans,
-             generate_series(date_trunc('month', d0),
-                             date_trunc('month', d1),
-                             INTERVAL 1 MONTH) AS gs(m)
+               CAST(UNNEST(generate_series(date_trunc('month', d0),
+                                           date_trunc('month', d1),
+                                           INTERVAL 1 MONTH)) AS DATE)
+                   AS month_start
+        FROM spans
     )
-    SELECT month_start,
+    SELECT strftime(month_start, '%Y-%m-%d') AS month_start,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(date_diff('day',
                               GREATEST(d0, month_start),
@@ -548,6 +551,9 @@ def q_calendarize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(overlap.cast("bigint")).alias("covered_days"),
         )
         .orderBy("month_start")
+        # yyyy-MM-dd string keeps the driver's dtype-sensitive hash stable
+        # (DuckDB DATE -> pandas object vs Spark DATE -> datetime64).
+        .withColumn("month_start", F.date_format("month_start", "yyyy-MM-dd"))
     )
 
 
