@@ -427,6 +427,59 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_graph_triangles_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_SQL.strip()},
+    {_minhash_sql().strip()},
+    {_JACCARD_PAIRS_SQL.strip()},
+    edges AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM candidates c
+        JOIN jaccard_pairs j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    )
+    SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="The PRODUCTION twin of q_graph_triangles: same triangle kernel, "
+    "but edges come from the MinHash+LSH candidate generator + exact-"
+    "Jaccard verification (the q_dedup_minhash pipeline) instead of the "
+    "O(n^2) all-pairs join — the only edge construction that exists at "
+    "100 TB, where the exact join is infeasible by definition. The "
+    "oracle replays the identical md5-seeded minhash banding in SQL, so "
+    "the LSH path itself is adjudicated end-to-end; "
+    "tests/test_components.py additionally asserts this query's output "
+    "EQUALS the exact variant's on the fixtures (LSH pair-completeness "
+    "is measured 1.0 there by q_dedup_blocking_quality — at the "
+    "J≈threshold margin the banded recall bound 1-(1-J^r)^b applies and "
+    "a missed edge removes its triangles, the documented production "
+    "trade). Same a<b orientation, so each triangle lands exactly once "
+    "as a<b<c; edge count tracks true near-dups, so both self-joins "
+    "stay sparse.",
+    tags=("graph", "dedup", "llm"),
+)
+def q_graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    edges = materialize(
+        neardup_pairs(docs).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(
+            F.col("e1.a").alias("doc_a"),
+            F.col("e1.b").alias("doc_b"),
+            F.col("e2.b").alias("doc_c"),
+        )
+    )
+
+
 #: Sparsify the trade graph to each customer's top-K suppliers by trade
 #: value before any neighborhood expansion: exact 2-hop enumeration over
 #: the DENSE bipartite graph is inherently quadratic (measured: the raw

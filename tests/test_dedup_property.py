@@ -366,3 +366,21 @@ def test_minhash_accuracy_audit_consistency(spark):
     # and individual pairs are GROSSLY misestimated (correlated minima
     # push est toward the extremes regardless of the true Jaccard)
     assert max(errs) > 0.5
+
+
+def test_triangles_lsh_matches_exact_variant(spark):
+    """The LSH-fed production twin enumerates EXACTLY the triangles of the
+    exact all-pairs variant on the fixture, where LSH pair-completeness is
+    measured 1.0 (q_dedup_blocking_quality) — the adjudication that makes
+    the 100 TB edge construction trustworthy."""
+    from sales_data_pipeline_gcp_spark.operators.components import (
+        q_graph_triangles,
+        q_graph_triangles_lsh,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {tuple(r) for r in q_graph_triangles(spark, SF_SMOKE).collect()}
+    lsh = {tuple(r) for r in q_graph_triangles_lsh(spark, SF_SMOKE).collect()}
+    assert lsh == exact
+    # a<b<c orientation: each triangle exactly once
+    assert all(a < b < c for a, b, c in lsh)
