@@ -288,3 +288,138 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sink.crossJoin(F.broadcast(evidence))
+
+
+#: Stream-stream join demo sizing: views/purchases per source file, user
+#: fan-in, and the event-time join horizon (minutes after the view).
+STREAM_JOIN_ROWS = 120
+STREAM_JOIN_USERS = 40
+STREAM_JOIN_HORIZON_MIN = 10
+
+
+@register(
+    "q_stream_join",
+    oracle=None,  # streaming state op; batch-equivalence embedded in output
+    doc="Stream-stream event-time interval join (the attribution join run "
+    "as two live streams): a views stream and a purchases stream, both "
+    "watermarked, joined on user + purchase-within-10-minutes-after-view. "
+    "Both state stores are BOUNDED — the interval condition plus the "
+    "watermark lets Spark evict a view row once the purchase-side "
+    "watermark passes v_ts + horizon, the property that makes a "
+    "100 TB/day clickstream-attribution join runnable at all (an "
+    "unbounded-state join OOMs by construction). Like q_stream_ingest / "
+    "q_stream_dedup, the driver can only rows-check a streaming query, "
+    "so the batch-equivalence proof is embedded: every sink row carries "
+    "stream_rows / batch_rows / rows_match / hash_match comparing the "
+    "streamed inner interval join against the identical batch join over "
+    "the same files (inner joins emit eagerly, so an AvailableNow drain "
+    "must equal batch exactly). tests/test_stream_stream_join.py pins "
+    "the semantics — including the left-outer variant, whose NULL "
+    "emission is watermark-gated — on top.",
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="stream_join_")
+    vdir, pdir = os.path.join(base, "views"), os.path.join(base, "purchases")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+
+    n, u = STREAM_JOIN_ROWS, STREAM_JOIN_USERS
+
+    def view_row(i: int) -> str:
+        # user i%u views at minute 2*i
+        return f"{i % u},2026-01-01 {2 * i // 60:02d}:{2 * i % 60:02d}:00,{100 + i}"
+
+    def purchase_row(j: int) -> str:
+        # user j%u purchases at minute 2*j+3 — inside the horizon of view j,
+        # outside it for roughly half the cross-user collisions
+        t = 2 * j + 3
+        return f"{j % u},2026-01-01 {t // 60:02d}:{t % 60:02d}:00,{500 + j}"
+
+    # two micro-batch files per side so matches span file boundaries
+    for name, lo, hi, mk in (
+        ("v_0.csv", 0, n // 2, view_row),
+        ("v_1.csv", n // 2, n, view_row),
+    ):
+        with open(os.path.join(vdir, name), "w") as f:
+            f.write("user_id,ts,event_id\n")
+            f.writelines(mk(i) + "\n" for i in range(lo, hi))
+    for name, lo, hi, mk in (
+        ("p_0.csv", 0, n // 2, purchase_row),
+        ("p_1.csv", n // 2, n, purchase_row),
+    ):
+        with open(os.path.join(pdir, name), "w") as f:
+            f.write("user_id,ts,event_id\n")
+            f.writelines(mk(j) + "\n" for j in range(lo, hi))
+
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT"
+
+    def interval_join(vdf: DataFrame, pdf: DataFrame) -> DataFrame:
+        v = vdf.select("user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id"))
+        p = pdf.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr(f"INTERVAL {STREAM_JOIN_HORIZON_MIN} MINUTES")
+            ),
+        ).select("user_id", "view_id", "purchase_id")
+
+    vstream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .csv(vdir)
+        .withWatermark("ts", "30 minutes")
+    )
+    pstream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .csv(pdir)
+        .withWatermark("ts", "30 minutes")
+    )
+    (
+        interval_join(vstream, pstream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    sink = spark.read.parquet(out)
+    read = lambda d: spark.read.schema(schema).option("header", "true").csv(d)
+    batch = interval_join(read(vdir), read(pdir))
+
+    def summary(df: DataFrame, p: str) -> DataFrame:
+        row_str = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in sorted(df.columns)],
+        )
+        return df.agg(
+            F.count("*").alias(f"{p}_rows"),
+            F.coalesce(F.sum(F.xxhash64(row_str).cast("decimal(38,0)")), F.lit(0)).alias(
+                f"{p}_hash"
+            ),
+        )
+
+    evidence = (
+        summary(sink, "stream")
+        .crossJoin(F.broadcast(summary(batch, "batch")))
+        .select(
+            "stream_rows",
+            "batch_rows",
+            (F.col("stream_rows") == F.col("batch_rows")).alias("rows_match"),
+            (F.col("stream_hash") == F.col("batch_hash")).alias("hash_match"),
+        )
+    )
+    return sink.crossJoin(F.broadcast(evidence))
