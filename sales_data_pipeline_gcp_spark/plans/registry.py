@@ -14,7 +14,14 @@ Oracle-exactness rules baked into how queries must be written
   final cast to DOUBLE, so Spark and DuckDB produce bit-identical floats
   regardless of partial-aggregation order;
 - never emit ``current_timestamp()`` or other non-determinism;
-- break top-k ties deterministically.
+- break top-k ties deterministically;
+- oracles MUST run on DuckDB 1.0.0 (the adjudication environment's
+  version, pinned as ``tests/parity.py ORACLE_DUCKDB_VERSION``): no
+  lateral ``generate_series`` with column parameters (use the scalar-list
+  ``SELECT UNNEST(generate_series(...))`` form), and remember 1.0.0's
+  ``epoch(DATE)`` returns DOUBLE — use ``date_diff('day', ...)`` for
+  integer day numbers. Known-bad constructs are grep-linted in
+  tests/test_plan_lint.py::test_oracle_runs_on_contract_duckdb_dialect.
 """
 
 from __future__ import annotations
@@ -101,7 +108,92 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- round-5 rotation. Round 4's window went 49/49 green (50th is
+    # ---- round-6 rotation: the backlog-burn round. Round 5 ended with 47
+    # queries that have NEVER carried a driver-adjudicated row (the
+    # additions outran the 50-slot window); per the standing rule a
+    # never-adjudicated query outranks any re-refresh, so ALL 47 take
+    # slots, in registration order — including the two whose oracles were
+    # red at the end of round 5 and are fixed this round (q_business_days:
+    # DuckDB 1.0.0 epoch(DATE)-is-DOUBLE float math; q_calendarize:
+    # lateral generate_series BinderException, now the scalar UNNEST
+    # form). Slots 48-49 go to the two queries ADDED in round 6
+    # (q_graph_triangles_lsh, the production LSH-fed twin of the exact
+    # triangle enumeration; q_stream_join, the promoted stream-stream
+    # interval join, rows-only with embedded batch-equivalence evidence) —
+    # new-query additions were otherwise held at zero this round so the
+    # backlog actually clears. Slot 50 starts the displaced refresh
+    # backlog: q_agg_distinct is the first of the eight queries whose
+    # latest green is round 1 (the oldest evidence in the repo); the
+    # remaining seven (q_agg_global, q_join_semi_anti, q_json_extract,
+    # q_set_union, q_text_termstats, q_text_tokens, q_window_lag) lead the
+    # round-7 rotation, followed by the round-2 refresh backlog
+    # (q_merge_upsert, q_scan_json, q_scan_csv_schema, q_sketch_cms,
+    # q_udf_vectorized, q_join_salted, q_knn_join, q_multimodal_features,
+    # q_multimodal_framesample, q_null_safe_join, q_null_semantics,
+    # q_subquery_correlated, q_subquery_in, q_subquery_scalar, q_pivot,
+    # the TPC-H trio Q3/Q7/Q18, unpivot/firstlast/percentrank/range-frame
+    # windows, filtered/grouping-sets aggs, histogram, right join).
+    # After round 6 every oracled query in the registry will have carried
+    # at least one driver-adjudicated row. Everything outside the window
+    # keeps sf0.01 oracle parity cover via tests/test_parity.py.
+    "q_parse_logs",
+    "q_business_days",
+    "q_dedup_blocking_quality",
+    "q_dedup_minhash_accuracy",
+    "q_source_diversity",
+    "q_stream_dedup",
+    "q_scan_evolved",
+    "q_udtf_chunks",
+    "q_scan_csv_quoted",
+    "q_scan_text",
+    "q_join_asof_nearest",
+    "q_join_asof_tolerance",
+    "q_funnel_steps",
+    "q_peak_concurrency",
+    "q_cdc_apply",
+    "q_survivorship",
+    "q_graph_sssp",
+    "q_mannwhitney",
+    "q_dq_referential",
+    "q_sql_chained_index",
+    "q_compaction_plan",
+    "q_acf",
+    "q_calendarize",
+    "q_capped_runsum",
+    "q_rfm",
+    "q_purchase_intervals",
+    "q_attribution",
+    "q_skyline",
+    "q_xyz_analysis",
+    "q_price_index",
+    "q_item_cf",
+    "q_gini_concentration",
+    "q_spearman_corr",
+    "q_ks_test",
+    "q_bollinger_bands",
+    "q_cusum_changepoint",
+    "q_dow_seasonality",
+    "q_mix_effective_sources",
+    "q_label_window",
+    "q_train_test_split",
+    "q_tv_drift",
+    "q_window_median",
+    "q_feature_hash",
+    "q_lift_curve",
+    "q_window_hampel",
+    "q_spatial_join",
+    "q_spatial_nearest",
+    # round-6 additions (the only two new queries this round):
+    "q_graph_triangles_lsh",
+    "q_stream_join",
+    # refresh backlog, oldest evidence first:
+    "q_agg_distinct",
+)
+
+
+_ROUND5_WINDOW_HISTORY: tuple[str, ...] = (
+    # ---- round-5 rotation (kept for the rotation audit trail). Round 4's
+    # window went 49/49 green (50th is
     # the rows-only streaming query), so this rotation is pure freshness:
     # (a) every query that has NEVER carried a driver-adjudicated row —
     # the five round-4 late additions plus the three new round-5 layout/

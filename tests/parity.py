@@ -27,6 +27,14 @@ import pandas as pd
 
 from sales_data_pipeline_gcp_spark.io import TABLES
 
+#: The adjudication environment runs DuckDB 1.0.0 — every oracle must
+#: execute on that dialect (round 5's q_calendarize shipped green locally
+#: on a construct 1.0.0 rejects). A newer local DuckDB is allowed for
+#: development, but the version is logged per run and known-unsupported
+#: constructs are grep-linted in tests/test_plan_lint.py.
+ORACLE_DUCKDB_VERSION = "1.0.0"
+print(f"parity: duckdb {duckdb.__version__} (oracle contract: {ORACLE_DUCKDB_VERSION})")
+
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
