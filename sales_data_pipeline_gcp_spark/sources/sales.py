@@ -99,5 +99,21 @@ def write_csv(path: str, rows: list[dict]) -> None:
 
 
 def as_dataframe(spark: SparkSession, rows: list[dict]) -> DataFrame:
-    data = [tuple(r[f] for f in FIELDS) for r in rows]
+    """Rows -> DataFrame with the generator's naive wall-times interpreted
+    in the SESSION timezone — the same rule Spark's CSV/JSON parsers apply
+    to the files ``write_csv`` produces. Without this, PySpark converts
+    naive datetimes with the Python PROCESS timezone (``TimestampType.
+    toInternal`` uses ``time.mktime``), so a repo session (UTC) driven
+    from a ``TZ=America/New_York`` process would disagree with the file
+    path by the UTC offset — instants, not just rendering."""
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    data = [
+        tuple(
+            v.replace(tzinfo=tz) if isinstance(v, datetime) else v
+            for v in (r[f] for f in FIELDS)
+        )
+        for r in rows
+    ]
     return spark.createDataFrame(data, schema=SALES_SCHEMA)

@@ -80,6 +80,15 @@ QUERIES = [
     "q_spatial_join",            # grid-blocked containment equi-join
     "q_compaction_plan",         # window cumsum bin packing
     "q_graph_sssp",              # bipartite frontier BFS (no projection)
+    # round-6 additions (r5 VERDICT item 8): the two most expensive bench
+    # queries now carry measured curves. q_dedup_prefix_filter contains
+    # the exact all-pairs join AS ITS ORACLE-ADJUDICATED completeness
+    # check, so its curve bounds the candidate-cut payoff; the triangle
+    # pair shares the edge pipeline, and the LSH-fed twin is the one
+    # whose curve must stay candidate-linear at scale
+    "q_dedup_prefix_filter",     # AllPairs/PPJoin prefix-filter join
+    "q_graph_triangles",         # exact-edge triangle enumeration
+    "q_graph_triangles_lsh",     # LSH-fed production twin
 ]
 
 
