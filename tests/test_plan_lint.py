@@ -71,6 +71,30 @@ def test_oracle_runs_on_contract_duckdb_dialect(name):
         assert not m, f"{name}: oracle uses {why}: ...{m.group(0)[:80]!r}..."
 
 
+def test_every_query_has_an_adjudication_slot():
+    """Every declared query must have carried (or be scheduled to carry)
+    a driver-adjudicated correctness row: it appears in a committed
+    CORRECTNESS_r*.json record or in the current DRIVER_WINDOW. Round 5
+    ended with a 47-query never-adjudicated backlog because additions
+    outran the 50-slot window; this makes silent backlog regrowth
+    structurally impossible — a new query that cannot get a window slot
+    this round fails the suite instead of quietly queueing forever."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    adjudicated: set[str] = set(registry.DRIVER_WINDOW)
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            adjudicated.update(json.load(f).keys())
+    backlog = sorted(set(ALL) - adjudicated)
+    assert not backlog, (
+        f"{len(backlog)} queries have never been driver-adjudicated and "
+        f"are not in the current DRIVER_WINDOW: {backlog}"
+    )
+
+
 def test_coverage_count_in_sync():
     """COVERAGE.md's headline counts must match the registry — round 5
     shipped seven queries documented nowhere; this makes that structurally

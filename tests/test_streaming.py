@@ -149,3 +149,22 @@ def test_stream_dedup_bounded_state_equivalence(spark):
     ids = [r.event_id for r in rows]
     assert len(set(ids)) == expected_distinct  # re-delivered keys dropped
     assert all(r.rows_match and r.hash_match for r in rows)
+
+
+def test_stream_join_batch_equivalence(spark):
+    """The declared stream-stream interval join must emit exactly the
+    batch join's rows (inner joins emit eagerly, AvailableNow drains both
+    sides), and every sink row must carry a green embedded-evidence tuple.
+    Fixture arithmetic: purchase j (t=2j+3 min, user j%u) falls in view
+    i's [v_ts, v_ts+10min] window iff j-i in {-1..3}; user equality forces
+    j-i to be a multiple of u=40, so each view matches exactly its own
+    purchase -> STREAM_JOIN_ROWS output rows."""
+    from sales_data_pipeline_gcp_spark.operators.streaming_queries import (
+        STREAM_JOIN_ROWS,
+        q_stream_join,
+    )
+
+    rows = q_stream_join(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == STREAM_JOIN_ROWS
+    assert all(r.view_id == r.purchase_id - 400 for r in rows)  # j == i
+    assert all(r.rows_match and r.hash_match for r in rows)
