@@ -60,7 +60,9 @@ def spend_trend(orders: DataFrame) -> DataFrame:
 _TREND_ORACLE = """
     WITH pts AS (
         SELECT o_custkey,
-               epoch(o_orderdate) // 86400                  AS x,
+               -- BIGINT day number (the seconds-since-1970 // 86400 form is
+               -- DOUBLE on DuckDB 1.0.0 and exact only below 2^53 sums)
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
                CAST(ROUND(o_totalprice * 100) AS BIGINT)    AS y
         FROM orders
     ), sums AS (

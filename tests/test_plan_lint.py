@@ -58,6 +58,16 @@ _DUCKDB_10_UNSUPPORTED = [
         re.compile(r"(?:FROM|JOIN)[^()]*\bgenerate_series\s*\(", re.IGNORECASE | re.DOTALL),
         "lateral generate_series table function (use SELECT UNNEST(generate_series(...)))",
     ),
+    (
+        # epoch() returns DOUBLE on DuckDB 1.0.0, so any integer closed
+        # form built on it (// , %) silently runs in float — round 5's
+        # q_business_days produced fractional business-day counts this
+        # way, and the q_grouped_trend oracle was exact only while its
+        # sums stayed under 2^53. The BIGINT spelling is
+        # date_diff('day', DATE '1970-01-01', CAST(col AS DATE)).
+        re.compile(r"\bepoch\s*\(", re.IGNORECASE),
+        "epoch() (DOUBLE on DuckDB 1.0.0 — use date_diff('day', DATE '1970-01-01', ...))",
+    ),
 ]
 
 
