@@ -25,9 +25,11 @@ record is split honestly:
   round 3), with ``queries_omitted`` counting the fast ones cut;
 - ``BENCH_FULL.json`` (committed) gets every query's sweep median PLUS an
   ``isolated`` column: the top cost leaders re-measured after the sweep
-  with full GC and a settle pause — mid-sweep medians absorb neighbor
-  GC/JIT pressure and can overstate a cost leader ~3x (round-4 VERDICT),
-  so the official record carries both numbers;
+  on a FRESH SparkContext (session restart: new block manager, every
+  sweep block dropped) — mid-sweep medians absorb neighbor GC/JIT
+  pressure and accumulated block-manager residue and can overstate a
+  cost leader ~3x (round-4 VERDICT), so the official record carries
+  both numbers;
 - ``bench_runs.json`` (gitignored) gets the raw per-run samples.
 """
 
@@ -105,10 +107,19 @@ def main() -> None:
     # Sweep-contention reconciliation (round-4 VERDICT item 3): a median
     # taken mid-sweep absorbs neighbor GC/JIT pressure from 140+ adjacent
     # queries and can overstate a cost leader by up to 3x. After the sweep,
-    # re-measure the N_ISOLATED slowest queries back-to-back-free: full GC,
-    # a settle pause, then median-of-3 each. BENCH_FULL.json records BOTH
-    # columns so the official record is self-consistent with any
+    # re-measure the N_ISOLATED slowest queries on a FRESH SparkContext:
+    # in-process GC + settle proved insufficient — a 236-query sweep
+    # leaves block-manager residue that kept the same-context isolated
+    # column ~2x above a fresh-process measurement of the same query
+    # (prefix-filter: 9.7 s same-context vs 5.4 s fresh). A session
+    # restart (~10 s) drops every sweep block with the old block manager,
+    # which is the dominant residue source. BENCH_FULL.json records
+    # BOTH columns so the official record is self-consistent with any
     # uncontended re-measure.
+    spark.stop()
+    spark = get_spark("bench-isolated")
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
     isolated: dict[str, float] = {}
     leaders = sorted(timings, key=lambda n: (-timings[n], n))[:N_ISOLATED]
     for name in leaders:
@@ -136,7 +147,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "isolated": isolated,
-                "isolated_note": "cost leaders re-measured post-sweep after full GC + settle; 'queries' medians are taken mid-sweep and may carry neighbor GC/JIT contention",
+                "isolated_note": "cost leaders re-measured post-sweep on a fresh SparkContext (session restart drops all sweep blocks); 'queries' medians are taken mid-sweep and may carry neighbor GC/JIT contention plus accumulated block-manager residue",
                 "sf": sf,
                 "runs_per_query": RUNS_PER_QUERY,
             },
