@@ -423,3 +423,149 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sink.crossJoin(F.broadcast(evidence))
+
+
+#: Left-outer stream-stream demo sizing: views per source file, user fan-in
+#: (every ODD view is left unmatched by construction -- purchases exist only
+#: for even view indices, and the 20-user fan-in makes cross-view collisions
+#: impossible inside the 10-minute horizon: i == j (mod 20) and
+#: 2*(j-i)+3 in [0,10] force j = i). Heartbeat rows use a user id far
+#: outside the real range so they can be excluded from sink and batch alike.
+STREAM_OUTER_ROWS = 60
+STREAM_OUTER_USERS = 20
+STREAM_OUTER_HEARTBEAT_USER = 9_000
+
+
+@register(
+    "q_stream_join_outer",
+    oracle=None,  # streaming state op; batch-equivalence embedded in output
+    doc="LEFT-OUTER stream-stream event-time interval join -- the one "
+    "streaming semantics q_stream_join's inner variant cannot exercise: "
+    "an unmatched view row is emitted with NULL purchase columns only "
+    "once the watermark (the MIN across both inputs) passes the "
+    "interval's upper bound, proving the row can never match -- the "
+    "watermark-gated NULL emission that makes outer attribution joins "
+    "deterministic instead of racy. Mechanics: purchases exist only for "
+    "even view indices, so exactly half the views must surface as NULL "
+    "rows; far-future heartbeat rows land on BOTH streams in their own "
+    "final micro-batch (maxFilesPerTrigger=1 + forced mtime ordering) to "
+    "advance the closing watermark past every real row's horizon, and "
+    "heartbeat users are excluded from sink and batch alike (their own "
+    "unmatched rows sit beyond the final watermark by construction -- "
+    "the same exclusion tests/test_stream_stream_join.py uses). Both "
+    "state stores stay BOUNDED exactly as in the inner variant. The "
+    "driver can only rows-check a streaming query, so the proof is "
+    "embedded: every sink row carries stream_rows / batch_rows / "
+    "rows_match / hash_match comparing the drained stream against the "
+    "identical batch left join (NULL-marked content hash, so a missing "
+    "NULL row or a spurious match flips hash_match). "
+    "tests/test_stream_stream_join.py pins the semantics on top.",
+    tags=("streaming", "join"),
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="stream_join_outer_")
+    vdir, pdir = os.path.join(base, "views"), os.path.join(base, "purchases")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+
+    n, u, hb = STREAM_OUTER_ROWS, STREAM_OUTER_USERS, STREAM_OUTER_HEARTBEAT_USER
+
+    def ts(minute: int) -> str:
+        return f"2026-01-01 {minute // 60:02d}:{minute % 60:02d}:00"
+
+    with open(os.path.join(vdir, "v_0.csv"), "w") as f:
+        f.write("user_id,ts,event_id\n")
+        f.writelines(f"{i % u},{ts(2 * i)},{100 + i}\n" for i in range(n))
+    with open(os.path.join(pdir, "p_0.csv"), "w") as f:
+        f.write("user_id,ts,event_id\n")
+        # purchases for EVEN views only, 3 minutes after the view --
+        # inside the horizon; odd views are provably unmatched
+        f.writelines(f"{j % u},{ts(2 * j + 3)},{500 + j}\n" for j in range(0, n, 2))
+    # Far-future heartbeats on BOTH streams: the query watermark is the
+    # MIN across all watermarked inputs, so both sides must advance for
+    # the final watermark to pass v_ts + horizon and release the NULL
+    # rows. Forced mtimes make the FileStreamSource (modification-time
+    # ordered) process them strictly AFTER the data files, in their own
+    # micro-batch -- a heartbeat processed FIRST would jump the watermark
+    # and drop every real row as late.
+    hb_minute = 2 * n + 240
+    future = time.time() + 3600
+    for d, uid in ((vdir, hb), (pdir, hb + 1)):
+        p = os.path.join(d, "z_heartbeat.csv")
+        with open(p, "w") as f:
+            f.write("user_id,ts,event_id\n")
+            f.write(f"{uid},{ts(hb_minute)},{900_000}\n")
+        os.utime(p, (future, future))
+
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT"
+
+    def interval_join(vdf: DataFrame, pdf: DataFrame) -> DataFrame:
+        v = vdf.select("user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id"))
+        p = pdf.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr(f"INTERVAL {STREAM_JOIN_HORIZON_MIN} MINUTES")
+            ),
+            "left_outer",
+        ).select("user_id", "view_id", "purchase_id")
+
+    def stream(d: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", 1)
+            .csv(d)
+            .withWatermark("ts", "30 minutes")
+        )
+
+    (
+        interval_join(stream(vdir), stream(pdir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    real = F.col("user_id") < u  # heartbeat rows excluded on both engines
+    sink = spark.read.parquet(out).filter(real)
+    read = lambda d: spark.read.schema(schema).option("header", "true").csv(d)
+    batch = interval_join(read(vdir), read(pdir)).filter(real)
+
+    def summary(df: DataFrame, p: str) -> DataFrame:
+        row_str = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in sorted(df.columns)],
+        )
+        return df.agg(
+            F.count("*").alias(f"{p}_rows"),
+            F.coalesce(F.sum(F.xxhash64(row_str).cast("decimal(38,0)")), F.lit(0)).alias(
+                f"{p}_hash"
+            ),
+        )
+
+    evidence = (
+        summary(sink, "stream")
+        .crossJoin(F.broadcast(summary(batch, "batch")))
+        .select(
+            "stream_rows",
+            "batch_rows",
+            (F.col("stream_rows") == F.col("batch_rows")).alias("rows_match"),
+            (F.col("stream_hash") == F.col("batch_hash")).alias("hash_match"),
+        )
+    )
+    return sink.crossJoin(F.broadcast(evidence))

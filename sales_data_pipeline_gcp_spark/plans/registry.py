@@ -108,34 +108,108 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- round-6 rotation: the backlog-burn round. Round 5 ended with 47
-    # queries that have NEVER carried a driver-adjudicated row (the
-    # additions outran the 50-slot window); per the standing rule a
-    # never-adjudicated query outranks any re-refresh, so ALL 47 take
-    # slots, in registration order — including the two whose oracles were
-    # red at the end of round 5 and are fixed this round (q_business_days:
-    # DuckDB 1.0.0 epoch(DATE)-is-DOUBLE float math; q_calendarize:
-    # lateral generate_series BinderException, now the scalar UNNEST
-    # form). Slots 48-49 go to the two queries ADDED in round 6
-    # (q_graph_triangles_lsh, the production LSH-fed twin of the exact
-    # triangle enumeration; q_stream_join, the promoted stream-stream
-    # interval join, rows-only with embedded batch-equivalence evidence) —
-    # new-query additions were otherwise held at zero this round so the
-    # backlog actually clears. Slot 50 starts the displaced refresh
-    # backlog: q_agg_distinct is the first of the eight queries whose
-    # latest green is round 1 (the oldest evidence in the repo); the
-    # remaining seven (q_agg_global, q_join_semi_anti, q_json_extract,
-    # q_set_union, q_text_termstats, q_text_tokens, q_window_lag) lead the
-    # round-7 rotation, followed by the round-2 refresh backlog
-    # (q_merge_upsert, q_scan_json, q_scan_csv_schema, q_sketch_cms,
-    # q_udf_vectorized, q_join_salted, q_knn_join, q_multimodal_features,
-    # q_multimodal_framesample, q_null_safe_join, q_null_semantics,
-    # q_subquery_correlated, q_subquery_in, q_subquery_scalar, q_pivot,
-    # the TPC-H trio Q3/Q7/Q18, unpivot/firstlast/percentrank/range-frame
-    # windows, filtered/grouping-sets aggs, histogram, right join).
-    # After round 6 every oracled query in the registry will have carried
-    # at least one driver-adjudicated row. Everything outside the window
-    # keeps sf0.01 oracle parity cover via tests/test_parity.py.
+    # ---- round-7 rotation: the freshness round, executed exactly as the
+    # round-6 verdict planned it (VERDICT item 4) with the window budgeted
+    # BEFORE any additions (the test_window_budget lint now enforces
+    # this). Slot accounting, 50/50:
+    #   2  q_grouped_trend + q_grouped_trend_sql at the HEAD (round-6
+    #      ADVICE: their shared _TREND_ORACLE was rewritten epoch//→
+    #      date_diff in round 6 but neither was in the round-6 window, so
+    #      the rewritten oracle has never carried a driver-adjudicated
+    #      row);
+    #   2  implementation-touched this round: q_sim_pq_adc (per-subspace
+    #      codegen split, VERDICT item 3) and q_graph_sssp (driver-side
+    #      scalar collect removed, VERDICT item 7);
+    #   7  the round-1-vintage greens (oldest evidence in the repo);
+    #  33  the round-2-vintage ORACLED greens. The two rows-only
+    #      round-2-vintage queries (q_agg_approx, q_sample_stratified)
+    #      cede their slots by the round-5 precedent: a window slot buys
+    #      a rows-only query no stronger evidence — their hard checks
+    #      live in tests/test_approx.py and the oracled bounds twin —
+    #      while an oracled refresh slot buys a value-hash adjudication;
+    #   1  the single query ADDED in round 7: q_stream_join_outer, the
+    #      left-outer stream-stream interval join (VERDICT item 8),
+    #      rows-only with embedded batch-equivalence evidence;
+    #   5  the round-3-vintage refresh backlog head, registration order
+    #      (q_agg_group is also the flagship = entry()). The remaining
+    #      40 round-3-vintage queries lead the round-8 rotation, then
+    #      the round-4-vintage set. Everything outside the window keeps
+    #      sf0.01 oracle parity cover via tests/test_parity.py.
+    # head: rewritten-oracle adjudication debt (round-6 ADVICE)
+    "q_grouped_trend",
+    "q_grouped_trend_sql",
+    # implementation touched in round 7
+    "q_sim_pq_adc",
+    "q_graph_sssp",
+    # round-1-vintage refresh
+    "q_agg_global",
+    "q_join_semi_anti",
+    "q_json_extract",
+    "q_set_union",
+    "q_text_termstats",
+    "q_text_tokens",
+    "q_window_lag",
+    # round-2-vintage oracled refresh
+    "q_agg_filtered",
+    "q_agg_grouping_sets",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_array_predicates",
+    "q_array_scalars",
+    "q_histogram",
+    "q_join_right",
+    "q_join_salted",
+    "q_knn_join",
+    "q_map_functions",
+    "q_math_scalars",
+    "q_merge_upsert",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_null_safe_join",
+    "q_null_semantics",
+    "q_pivot",
+    "q_sample_hash",
+    "q_scan_csv_schema",
+    "q_scan_json",
+    "q_sketch_cms",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_tpch_q18_big_orders",
+    "q_tpch_q3_shipping",
+    "q_tpch_q7_volume",
+    "q_udf_vectorized",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_window_percentrank",
+    "q_window_range",
+    # round-7 addition (the only new query this round)
+    "q_stream_join_outer",
+    # round-3-vintage refresh backlog head, registration order
+    "q_agg_group",
+    "q_agg_rollup",
+    "q_join_outer",
+    "q_window_frame",
+    "q_topk",
+)
+
+
+_ROUND6_WINDOW_HISTORY: tuple[str, ...] = (
+    # ---- round-6 rotation (kept for the rotation audit trail): the
+    # backlog-burn round. Round 5 ended with 47 queries that had NEVER
+    # carried a driver-adjudicated row (the additions outran the 50-slot
+    # window); per the standing rule a never-adjudicated query outranks
+    # any re-refresh, so ALL 47 took slots, in registration order —
+    # including the two whose oracles were red at the end of round 5 and
+    # were fixed in round 6 (q_business_days: DuckDB 1.0.0
+    # epoch(DATE)-is-DOUBLE float math; q_calendarize: lateral
+    # generate_series BinderException, now the scalar UNNEST form).
+    # Slots 48-49 went to the two queries ADDED in round 6
+    # (q_graph_triangles_lsh, q_stream_join); slot 50 started the
+    # displaced refresh backlog with q_agg_distinct. Outcome
+    # (CORRECTNESS_r06.json): 50/50 green, backlog fully burned — after
+    # round 6 every registry query carries at least one
+    # driver-adjudicated row.
     "q_parse_logs",
     "q_business_days",
     "q_dedup_blocking_quality",

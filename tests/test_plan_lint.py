@@ -29,7 +29,7 @@ SINGLE_ROW_CROSS_OK = {"q_sim_topk", "q_sim_ann_ivf"}
 
 @pytest.mark.parametrize("name", sorted(ALL), ids=sorted(ALL))
 def test_plan_has_no_scale_antipatterns(spark, sf_smoke_dir, name):
-    if name in ("q_stream_ingest", "q_stream_dedup", "q_stream_join"):
+    if name in ("q_stream_ingest", "q_stream_dedup", "q_stream_join", "q_stream_join_outer"):
         pytest.skip("streaming query materializes its own pipeline")
     plan = plan_str(ALL[name].fn(spark, sf_smoke_dir))
 
@@ -81,6 +81,19 @@ def test_oracle_runs_on_contract_duckdb_dialect(name):
         assert not m, f"{name}: oracle uses {why}: ...{m.group(0)[:80]!r}..."
 
 
+def _committed_adjudications() -> set[str]:
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            names.update(json.load(f).keys())
+    return names
+
+
 def test_every_query_has_an_adjudication_slot():
     """Every declared query must have carried (or be scheduled to carry)
     a driver-adjudicated correctness row: it appears in a committed
@@ -88,20 +101,77 @@ def test_every_query_has_an_adjudication_slot():
     ended with a 47-query never-adjudicated backlog because additions
     outran the 50-slot window; this makes silent backlog regrowth
     structurally impossible — a new query that cannot get a window slot
-    this round fails the suite instead of quietly queueing forever."""
-    import glob
-    import json
-    import os
+    this round fails the suite instead of quietly queueing forever.
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    adjudicated: set[str] = set(registry.DRIVER_WINDOW)
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            adjudicated.update(json.load(f).keys())
-    backlog = sorted(set(ALL) - adjudicated)
+    Known limitation: a query counts as adjudicated forever once its name
+    appears in any historical CORRECTNESS record, so this guard catches
+    never-adjudicated names only — it does NOT re-queue a query whose
+    ORACLE was rewritten after its last green row. That staleness class
+    is covered separately by ``test_oracle_rewrite_requeues_adjudication``,
+    which keys on (query, oracle-hash) via the committed
+    ORACLE_HASHES.json snapshot."""
+    backlog = sorted(set(ALL) - _committed_adjudications() - set(registry.DRIVER_WINDOW))
     assert not backlog, (
         f"{len(backlog)} queries have never been driver-adjudicated and "
         f"are not in the current DRIVER_WINDOW: {backlog}"
+    )
+
+
+#: The window-budget rule (round-6 VERDICT item 6): of the 50 driver
+#: adjudication slots per round, at least this many must go to REFRESHING
+#: already-adjudicated queries — equivalently, never-adjudicated additions
+#: are capped at 50 - REFRESH_SLOT_FLOOR per round. At ~236 queries and
+#: >=40 refresh slots/round, every query's evidence is re-adjudicated at
+#: least every ~6 rounds; round 5 violated this by adding 89 queries
+#: against the 50-slot window and grew a 47-query backlog.
+REFRESH_SLOT_FLOOR = 40
+
+
+def test_window_budget_caps_new_additions():
+    """New (never-adjudicated) queries may take at most
+    50 - REFRESH_SLOT_FLOOR window slots, so additions can never again
+    outrun the adjudication window the way round 5's did. Counted against
+    the committed CORRECTNESS history, so the cap binds at commit time —
+    BEFORE the round's adjudication runs."""
+    never_adjudicated = set(ALL) - _committed_adjudications()
+    cap = 50 - REFRESH_SLOT_FLOOR
+    assert len(never_adjudicated) <= cap, (
+        f"{len(never_adjudicated)} never-adjudicated queries exceed the "
+        f"per-round addition budget of {cap} (window reserves "
+        f"{REFRESH_SLOT_FLOOR} refresh slots): {sorted(never_adjudicated)}"
+    )
+
+
+def test_oracle_rewrite_requeues_adjudication():
+    """An oracle rewrite must re-queue its query for driver adjudication
+    (round-6 ADVICE: q_grouped_trend's oracle was rewritten in round 6
+    but the name-keyed slot guard above never re-queued it, so the
+    rewritten oracle shipped with no driver-adjudicated row).
+    ORACLE_HASHES.json is the committed snapshot of each oracle's text as
+    last scheduled for adjudication; a query whose current oracle hash
+    differs from the snapshot must hold a DRIVER_WINDOW slot this round
+    (and the snapshot is updated in the same commit that grants the
+    slot)."""
+    import hashlib
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ORACLE_HASHES.json"
+    )
+    with open(path) as f:
+        snapshot = json.load(f)
+    stale = []
+    for name, q in ALL.items():
+        if not q.oracle:
+            continue
+        h = hashlib.sha256(q.oracle.encode()).hexdigest()[:16]
+        if snapshot.get(name) != h and name not in registry.DRIVER_WINDOW:
+            stale.append(name)
+    assert not stale, (
+        f"oracle text changed since last scheduled adjudication but the "
+        f"query holds no DRIVER_WINDOW slot: {sorted(stale)} — give it a "
+        f"slot and refresh its ORACLE_HASHES.json entry in the same commit"
     )
 
 

@@ -168,3 +168,25 @@ def test_stream_join_batch_equivalence(spark):
     assert len(rows) == STREAM_JOIN_ROWS
     assert all(r.view_id == r.purchase_id - 400 for r in rows)  # j == i
     assert all(r.rows_match and r.hash_match for r in rows)
+
+def test_stream_join_outer_batch_equivalence(spark):
+    """The declared LEFT-OUTER stream-stream interval join must emit the
+    batch left join exactly: purchases exist only for even view indices,
+    so exactly half the views surface as watermark-gated NULL rows (the
+    semantics the inner variant cannot exercise), and every sink row must
+    carry a green embedded-evidence tuple. Fixture arithmetic: user
+    equality (mod 20) plus the 10-minute horizon force j == i, so even
+    views match their own purchase and odd views are provably unmatched."""
+    from sales_data_pipeline_gcp_spark.operators.streaming_queries import (
+        STREAM_OUTER_ROWS,
+        q_stream_join_outer,
+    )
+
+    rows = q_stream_join_outer(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == STREAM_OUTER_ROWS
+    matched = [r for r in rows if r.purchase_id is not None]
+    unmatched = [r for r in rows if r.purchase_id is None]
+    assert len(matched) == len(unmatched) == STREAM_OUTER_ROWS // 2
+    assert all(r.view_id % 2 == 0 and r.purchase_id == r.view_id + 400 for r in matched)
+    assert all(r.view_id % 2 == 1 for r in unmatched)
+    assert all(r.rows_match and r.hash_match for r in rows)
