@@ -643,8 +643,14 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c", "s")
     )
     edges = edges.localCheckpoint(eager=True)
-    src = edges.agg(F.min("c")).collect()[0][0]  # one scalar, config-sized
-    dist = spark.createDataFrame([(src, 0)], "c bigint, d int").localCheckpoint(eager=True)
+    # seed frontier: the lowest-keyed customer at distance 0, kept entirely
+    # on the executors as a one-row DataFrame (no driver-side collect —
+    # the seed is data, not control flow, so it never has to leave the JVM)
+    dist = (
+        edges.agg(F.min("c").alias("c"))
+        .select("c", F.lit(0).cast("int").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     for r in range(1, SSSP_MAX_HOPS + 1):
         # one projection hop = two bipartite hops; the distinct supplier
         # frontier is bounded by the supplier dimension, never pair counts

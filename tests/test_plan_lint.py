@@ -81,6 +81,28 @@ def test_oracle_runs_on_contract_duckdb_dialect(name):
         assert not m, f"{name}: oracle uses {why}: ...{m.group(0)[:80]!r}..."
 
 
+def test_no_driver_side_collect_in_source():
+    """``.collect(`` is banned in every non-test source file: a declared
+    query that collects is not distributed — results loop through the
+    driver, the one machine that cannot scale. The last legitimate-looking
+    scalar collect (the BFS seed in components.py) was rewritten as a
+    one-row executor-side DataFrame in round 7; anything new is a
+    regression. (``collect_list``/``collect_set`` are JVM aggregates and
+    do not match the banned pattern.)"""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "sales_data_pipeline_gcp_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            for lineno, line in enumerate(f, 1):
+                if ".collect(" in line:
+                    offenders.append(f"{os.path.relpath(path, root)}:{lineno}")
+    assert not offenders, f"driver-side .collect( in source: {offenders}"
+
+
 def _committed_adjudications() -> set[str]:
     import glob
     import json
