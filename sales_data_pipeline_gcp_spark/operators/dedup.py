@@ -1342,7 +1342,24 @@ PREFIX_FILTER_THRESHOLD = 0.8
     "the rarest tokens (the df table is one narrow aggregate, shuffled "
     "once), candidate volume tracks true-pair volume instead of n^2, "
     "and skew is structurally bounded because high-df boilerplate "
-    "tokens are exactly the ones prefix selection discards.",
+    "tokens are exactly the ones prefix selection discards. "
+    "CANDIDATE-GROWTH BOUND: raw candidates = sum over shingles w of "
+    "C(df_p(w), 2), where df_p(w) is w's document frequency WITHIN "
+    f"prefixes — at t={PREFIX_FILTER_THRESHOLD} prefixes keep only the "
+    "rarest ~(1-t) fraction of each doc, so df_p is minimized by "
+    "construction and the sum is <= max_w df_p(w) x (total prefix "
+    "postings), i.e. LINEAR in corpus size times the heaviest surviving "
+    "prefix token's df (cost distribution and per-decade steps in "
+    "BENCH_NOTES.md / SCALING.md). The bound degrades as t drops "
+    "(prefix length |d|(1-t)+1 grows and df_p with it — measured 409k "
+    "raw candidates at t=0.5 on sf0.1 vs the t=0.8 declared query's "
+    "filter-bitten set): below t~0.7, or on corpora whose rare-token "
+    "tail is still high-df, switch to the probabilistic twin "
+    "q_dedup_minhash (banded MinHash-LSH, same candidates-then-verify "
+    f"shape, constant {NUM_BANDS}-bucket cost per doc independent of t) "
+    "and accept its measured false-negative rate "
+    "(q_dedup_minhash_accuracy) in exchange for the bounded candidate "
+    "volume.",
     tags=("dedup",),
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

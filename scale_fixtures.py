@@ -1,0 +1,138 @@
+"""Derive an sf1 scale decade (10x sf0.1) for SCALING.md's cost-leader
+curves — the round-6 VERDICT item 5: "the 100 TB design claims currently
+rest on one measured decade".
+
+The driver ships fixtures only up to sf0.1, so sf1 is DERIVED from sf0.1
+by a 10-way replica union with per-replica key shifting, built so every
+measured query's *cardinality structure* scales the way a real 10x corpus
+would (this is a COST fixture — correctness stays adjudicated at sf0.01
+against DuckDB; nothing here feeds a correctness check):
+
+- Fact/dim keys shift by replica x 10^ceil(log10(max_key+1)), applied
+  consistently across lineitem/orders/customer/supplier/part, so join
+  fan-outs, group counts, and graph degrees scale like TPC-H's own SF
+  scaling (10x more suppliers with the same per-supplier degree — NOT
+  10x degree on 1000 suppliers, which would manufacture skew that isn't
+  in the generator).
+- nation/region stay fixed (true dimensions).
+- documents: doc_id shifts; for replica i>0 a replica-unique salt token
+  is inserted after every 5 words and n_chars is recomputed. Without the
+  salt, every doc would have 9 byte-identical clones and every pair-
+  finding query's candidate volume would grow ~quadratically in replicas
+  — a blowup the REAL corpus growth doesn't have. The salt corrupts a
+  majority of each cross-replica pair's 3-gram shingles (every window
+  covering an insertion point differs), pushing cross-replica Jaccard
+  far below every query's threshold, while within-replica near-dup
+  structure is preserved exactly (replica 0 is byte-identical sf0.1).
+- embeddings: vec_id shifts; replica i's vectors are ROTATED by i
+  positions — norm and component distribution are preserved (so IVF
+  cell balance and PQ codebook spread stay representative) but the
+  directions are distinct, avoiding the same 10-identical-copies
+  artifact in cosine/LSH space.
+- events: event_id/user_id shift; timestamps keep the same window span
+  (10x density per window, the streaming-aggregation scale axis).
+
+Usage: python scale_fixtures.py  (writes .scale/sf1/*.parquet, ~10 min)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F
+
+from sales_data_pipeline_gcp_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
+REPLICAS = 10
+
+
+def _shift_unit(df: DataFrame, col: str) -> int:
+    mx = df.agg(F.max(col)).first()[0]
+    return 10 ** math.ceil(math.log10(mx + 2))
+
+
+def main() -> None:
+    spark = get_spark("scale-fixtures")
+    os.makedirs(OUT, exist_ok=True)
+
+    read = lambda t: spark.read.parquet(f"{SRC}/{t}.parquet")
+
+    li, od, cu, su, pa = (read(t) for t in ("lineitem", "orders", "customer", "supplier", "part"))
+    u_order = _shift_unit(od, "o_orderkey")
+    u_cust = _shift_unit(cu, "c_custkey")
+    u_supp = _shift_unit(su, "s_suppkey")
+    u_part = _shift_unit(pa, "p_partkey")
+
+    def replicate(df: DataFrame, shifts: dict[str, int], extra=None) -> DataFrame:
+        parts = []
+        for i in range(REPLICAS):
+            r = df
+            for col, unit in shifts.items():
+                r = r.withColumn(col, F.col(col) + F.lit(i * unit))
+            if extra is not None:
+                r = extra(r, i)
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    jobs = {
+        "lineitem": replicate(
+            li, {"l_orderkey": u_order, "l_partkey": u_part, "l_suppkey": u_supp}
+        ),
+        "orders": replicate(od, {"o_orderkey": u_order, "o_custkey": u_cust}),
+        "customer": replicate(cu, {"c_custkey": u_cust}),
+        "supplier": replicate(su, {"s_suppkey": u_supp}),
+        "part": replicate(pa, {"p_partkey": u_part}),
+        "nation": read("nation"),
+        "region": read("region"),
+    }
+
+    docs = read("documents")
+    u_doc = _shift_unit(docs, "doc_id")
+
+    def salt_doc(r: DataFrame, i: int) -> DataFrame:
+        if i == 0:
+            return r
+        # insert a replica-unique token after every 5 words: cross-replica
+        # Jaccard collapses, within-replica structure untouched
+        salted = F.regexp_replace("text", r"((?:\S+\s+){5})", f"$1zq{i}v ")
+        return r.withColumn("text", salted).withColumn("n_chars", F.length("text"))
+
+    jobs["documents"] = replicate(docs, {"doc_id": u_doc}, salt_doc)
+
+    emb = read("embeddings")
+    u_vec = _shift_unit(emb, "vec_id")
+    dim = len(emb.select("embedding").first()[0])
+
+    def rotate_vec(r: DataFrame, i: int) -> DataFrame:
+        if i == 0:
+            return r
+        rot = F.concat(
+            F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
+        )
+        return r.withColumn("embedding", rot)
+
+    jobs["embeddings"] = replicate(emb, {"vec_id": u_vec}, rotate_vec)
+
+    ev = read("events")
+    u_event = _shift_unit(ev, "event_id")
+    u_user = _shift_unit(ev, "user_id")
+    jobs["events"] = replicate(ev, {"event_id": u_event, "user_id": u_user})
+
+    for name, df in jobs.items():
+        dest = f"{OUT}/{name}.parquet"
+        df.coalesce(max(1, df.rdd.getNumPartitions() // 2)).write.mode("overwrite").parquet(dest)
+        print(f"{name}: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
