@@ -1,18 +1,24 @@
-"""Benchmark runner: executes the engine's headline queries at
+"""Benchmark runner: executes the engine's declared queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is materialized with the noop sink (full execution, no driver
-collect). First run of each query includes JVM/codegen warmup; a shared
-warmup query amortizes session start so per-query numbers reflect plan
-execution.
+collect). Each query's reported time is the MEDIAN of 3 steady-state runs
+(after an untimed warmup run): a single timed run on a shared box can be
+doubled — or sixteen-folded, as one round-2 entry was — by one GC pause or
+a neighbor's burst.
 
-Each query's reported time is the MEDIAN of 3 steady-state runs (after an
-untimed warmup run): a single timed run on a shared box can be doubled —
-or sixteen-folded, as one round-2 entry was — by one GC pause or a
-neighbor's burst.
+**The sweep runs in FRESH-PROCESS SHARDS** (round-6 VERDICT item 2). A
+single-process 236-query sweep accumulates block-manager residue,
+checkpoint blocks, and JIT/GC pressure that billed later queries a uniform
+~1.29x inflation with 4-6x storms on trivial plan-free queries (round-6
+record: 280.6s total vs round 5's 185.0s for code that did not change).
+Sharding bounds the accumulated state any query can inherit to its own
+shard's ~30 predecessors, and every shard starts with a clean JVM: new
+block manager, empty code cache, no checkpoint blocks. Per-shard session
+startup (~15s) is NOT counted in any query's timing.
 
 The driver records only a 2000-char tail of stdout (verified: rounds 1-3
 all have ``parsed: null`` with a mid-dict tail), and 122+ query names at
@@ -23,13 +29,11 @@ record is split honestly:
   the tail: the total over ALL queries plus per-query medians for the
   SLOWEST queries (the cost leaders — exactly the rows truncation lost in
   round 3), with ``queries_omitted`` counting the fast ones cut;
-- ``BENCH_FULL.json`` (committed) gets every query's sweep median PLUS an
-  ``isolated`` column: the top cost leaders re-measured after the sweep
-  on a FRESH SparkContext (session restart: new block manager, every
-  sweep block dropped) — mid-sweep medians absorb neighbor GC/JIT
-  pressure and accumulated block-manager residue and can overstate a
-  cost leader ~3x (round-4 VERDICT), so the official record carries
-  both numbers;
+- ``BENCH_FULL.json`` (committed) gets every query's sharded-sweep median
+  PLUS an ``isolated`` column: the top N_ISOLATED cost leaders re-measured
+  after the sweep in ONE MORE fresh process — even a ~30-query shard can
+  leave enough residue to inflate its own tail, so the official record
+  carries both numbers;
 - ``bench_runs.json`` (gitignored) gets the raw per-run samples.
 """
 
@@ -40,41 +44,31 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 RUNS_PER_QUERY = 3
-#: cost leaders re-measured in isolation after the sweep (see below).
-N_ISOLATED = 10
+#: cost leaders re-measured in a fresh process after the sweep (see above).
+N_ISOLATED = 20
+#: fresh-process shards for the sweep; ~30 queries per shard bounds the
+#: block-manager/JIT residue any query can inherit from its predecessors.
+N_SHARDS = 8
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from sales_data_pipeline_gcp_spark.plans import registry
-from sales_data_pipeline_gcp_spark.session import get_spark
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
-    spark = get_spark("bench")
-    all_q = registry.all_queries()
-
-    # warmup: touch every table + run the flagship once
-    from sales_data_pipeline_gcp_spark.io import TABLES, load
-
-    for t in TABLES:
-        load(spark, sf_dir, t).count()
-    materialize(all_q["q_agg_group"].fn(spark, sf_dir))
-
-    timings: dict[str, float] = {}
+def _measure(spark, all_q, names: list[str], sf_dir: str) -> dict[str, list[float]]:
+    """Warm + time each named query in the CURRENT process; returns raw
+    samples per query. Shared by the shard workers and the isolated pass."""
     runs: dict[str, list[float]] = {}
-    for name, q in sorted(all_q.items()):
+    for name in names:
+        q = all_q[name]
         # first run pays codegen/compile; time RUNS_PER_QUERY steady-state
         # runs and report the median (outlier-proof official record)
         materialize(q.fn(spark, sf_dir))
@@ -94,51 +88,91 @@ def main() -> None:
             materialize(q.fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 4))
         runs[name] = samples
-        timings[name] = round(statistics.median(samples), 4)
         # drop Python refs to per-run localCheckpoint RDDs so the JVM
         # ContextCleaner can evict their blocks BETWEEN queries — otherwise
         # checkpoint blocks from every prior run pile up in the block
         # manager and a later query pays the eviction/GC bill mid-timing
         # (the round-2 37s minhash outlier class)
         gc.collect()
+    return runs
 
-    total = round(sum(timings.values()), 4)
 
-    # Sweep-contention reconciliation (round-4 VERDICT item 3): a median
-    # taken mid-sweep absorbs neighbor GC/JIT pressure from 140+ adjacent
-    # queries and can overstate a cost leader by up to 3x. After the sweep,
-    # re-measure the N_ISOLATED slowest queries on a FRESH SparkContext:
-    # in-process GC + settle proved insufficient — a 236-query sweep
-    # leaves block-manager residue that kept the same-context isolated
-    # column ~2x above a fresh-process measurement of the same query
-    # (prefix-filter: 9.7 s same-context vs 5.4 s fresh). A session
-    # restart (~10 s) drops every sweep block with the old block manager,
-    # which is the dominant residue source. BENCH_FULL.json records
-    # BOTH columns so the official record is self-consistent with any
-    # uncontended re-measure.
-    spark.stop()
-    spark = get_spark("bench-isolated")
+def _session_with_tables(app: str, sf_dir: str):
+    from sales_data_pipeline_gcp_spark.io import TABLES, load
+    from sales_data_pipeline_gcp_spark.session import get_spark
+
+    spark = get_spark(app)
     for t in TABLES:
         load(spark, sf_dir, t).count()
-    isolated: dict[str, float] = {}
+    return spark
+
+
+def _shard_worker(out_path: str, names: list[str]) -> None:
+    """Fresh-process entry: measure ``names`` and dump raw samples."""
+    from sales_data_pipeline_gcp_spark.plans import registry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session_with_tables("bench-shard", sf_dir)
+    runs = _measure(spark, registry.all_queries(), names, sf_dir)
+    with open(out_path, "w") as f:
+        json.dump(runs, f)
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from sales_data_pipeline_gcp_spark.plans import registry
+
+    names = sorted(registry.all_queries())
+
+    # striped shards over the sorted names (spreads each heavy family
+    # across shards instead of clustering it), each measured sequentially
+    # in a fresh subprocess (own JVM; startup is untimed)
+    shards = [names[i::N_SHARDS] for i in range(N_SHARDS)]
+    runs: dict[str, list[float]] = {}
+    with tempfile.TemporaryDirectory(prefix="bench_shards_") as tmp:
+        for i, shard in enumerate(shards):
+            out = os.path.join(tmp, f"shard_{i}.json")
+            log = os.path.join(tmp, f"shard_{i}.log")
+            with open(log, "w") as lf:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--shard-worker", out, *shard],
+                    stdout=lf,
+                    stderr=subprocess.STDOUT,
+                    env=os.environ,
+                )
+            if proc.returncode != 0:
+                with open(log) as lf:
+                    tail = lf.read()[-2000:]
+                raise RuntimeError(f"bench shard {i} failed (rc={proc.returncode}):\n{tail}")
+            with open(out) as f:
+                runs.update(json.load(f))
+
+    timings = {n: round(statistics.median(s), 4) for n, s in runs.items()}
+    total = round(sum(timings.values()), 4)
+
+    # Isolated column: re-measure the N_ISOLATED slowest queries in THIS
+    # process — which has never started a SparkSession, so it is exactly
+    # the fresh-process re-measure the round-5/6 analyses showed is the
+    # only reading free of sweep residue (same-context isolated stayed ~2x
+    # above fresh-process on the cost leaders).
     leaders = sorted(timings, key=lambda n: (-timings[n], n))[:N_ISOLATED]
-    for name in leaders:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(1.0)
-        q = all_q[name]
-        materialize(q.fn(spark, sf_dir))  # warm again post-sweep
-        samples = []
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.perf_counter()
-            materialize(q.fn(spark, sf_dir))
-            samples.append(round(time.perf_counter() - t0, 4))
-        isolated[name] = round(statistics.median(samples), 4)
-        runs[name + "/isolated"] = samples
+    spark = _session_with_tables("bench-isolated", sf_dir)
+    iso_runs = _measure(spark, registry.all_queries(), leaders, sf_dir)
+    isolated = {n: round(statistics.median(s), 4) for n, s in iso_runs.items()}
+    runs.update({n + "/isolated": s for n, s in iso_runs.items()})
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_runs.json"), "w") as f:
-        json.dump({"runs": runs, "sf": sf, "runs_per_query": RUNS_PER_QUERY}, f, indent=1, sort_keys=True)
+        json.dump(
+            {"runs": runs, "sf": sf, "runs_per_query": RUNS_PER_QUERY, "n_shards": N_SHARDS},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(
             {
@@ -147,9 +181,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "isolated": isolated,
-                "isolated_note": "cost leaders re-measured post-sweep on a fresh SparkContext (session restart drops all sweep blocks); 'queries' medians are taken mid-sweep and may carry neighbor GC/JIT contention plus accumulated block-manager residue",
+                "isolated_note": "cost leaders re-measured post-sweep in a fresh PROCESS (new JVM: clean block manager, empty code cache); 'queries' medians come from 8 fresh-process shards of ~30 queries each, so residue exposure is bounded to one shard",
                 "sf": sf,
                 "runs_per_query": RUNS_PER_QUERY,
+                "n_shards": N_SHARDS,
             },
             f,
             indent=1,
@@ -187,4 +222,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--shard-worker":
+        _shard_worker(sys.argv[2], sys.argv[3:])
+    else:
+        main()

@@ -9,6 +9,7 @@ Usage: python scale_report.py   (prints a markdown table)
 
 from __future__ import annotations
 
+import os
 import statistics
 import time
 
@@ -135,5 +136,67 @@ def main() -> None:
     spark.stop()
 
 
+#: The sf1 decade (round-6 VERDICT item 5): the cost-leader families whose
+#: 100 TB posture previously rested on the single sf0.01->sf0.1 measured
+#: decade. sf1 fixtures are DERIVED (see scale_fixtures.py) — ~6M lineitem
+#: rows / 50k docs / 20k embeddings / 1M events.
+SF1_QUERIES = [
+    "q_dedup_prefix_filter",   # AllPairs/PPJoin deterministic dedup
+    "q_graph_triangles",       # exact all-pairs twin (superlinear BY DESIGN)
+    "q_graph_triangles_lsh",   # LSH-fed production twin (must stay ~linear)
+    "q_dedup_clusters",        # large-star/small-star contraction
+    "q_dedup_minhash",         # banded MinHash-LSH
+    "q_dedup_snm",             # sorted-neighborhood window
+    "q_corpus_prepare",        # composed funnel
+    "q_pagerank",              # 3 Pregel-class rounds
+    "q_graph_khop",            # supplier-keyed 2-hop fan-out
+    "q_graph_sssp",            # bipartite frontier BFS
+    "q_sim_pq_adc",            # in-row PQ encode + ADC top-k
+    "q_sim_ann_ivf",           # IVF assign/probe/re-rank
+    "q_stream_join",           # fixture-FIXED micro-batch floor (expect flat)
+]
+SF1_DIR = "/root/repo/.scale/sf1"
+
+
+def _sf1_worker(name: str) -> None:
+    """Fresh-process measurement of one query at sf0.1 then sf1 — per the
+    measurement-hygiene rule, heavy-query SCALING rows use isolated
+    fresh-process numbers (a shared session's accumulated checkpoint
+    blocks have billed later heavy queries 2-4x)."""
+    spark = get_spark(f"sf1-{name}")
+    fn = registry.all_queries()[name].fn
+    t01 = _measure(spark, fn, SFS[2])
+    t1 = _measure(spark, fn, SF1_DIR)
+    print(f"SF1ROW | {name} | {t01:.2f} | {t1:.2f} | {t1 / t01:.1f}x |", flush=True)
+    spark.stop()
+
+
+def sf1_main() -> None:
+    import subprocess
+    import sys as _sys
+
+    print("| query | sf0.1 s | sf1 s | x(1/0.1) |")
+    print("|---|---|---|---|")
+    for name in SF1_QUERIES:
+        proc = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__), "--sf1-worker", name],
+            capture_output=True,
+            text=True,
+        )
+        rows = [l for l in proc.stdout.splitlines() if l.startswith("SF1ROW")]
+        if proc.returncode != 0 or not rows:
+            print(f"| {name} | FAILED (rc={proc.returncode}) | | |")
+            print(proc.stderr[-1500:], file=_sys.stderr)
+            continue
+        print(rows[0].removeprefix("SF1ROW "))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--sf1-worker":
+        _sf1_worker(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sf1":
+        sf1_main()
+    else:
+        main()
