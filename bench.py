@@ -245,8 +245,82 @@ def main() -> None:
     print(line)
 
 
+def merge(paths: list[str]) -> None:
+    """Merge N back-to-back BENCH_FULL.json records into one by taking the
+    per-query MIN of each run's median, for both the sweep and isolated
+    columns (the round-6 VERDICT's sanctioned min-of-N-sweeps statistic).
+    The box suffers multi-minute host-noise storms that can cover all of
+    one run's samples for a query (observed: a ~10-min window billed a
+    0.33s query 5.4-8.7s across all its samples AND retries); a storm
+    window is unlikely to cover the same query in independent sweeps, so
+    the min across sweeps is the noise-robust per-query estimator. Writes
+    the merged BENCH_FULL.json and prints the official stdout line."""
+    records = [json.load(open(p)) for p in paths]
+    base = records[0]
+    queries = {
+        n: min(r["queries"][n] for r in records if n in r["queries"])
+        for n in {k for r in records for k in r["queries"]}
+    }
+    # isolated rows only for the MERGED record's own top-N cost leaders:
+    # each run picks leaders from its OWN (possibly storm-inflated) sweep,
+    # so a query can carry an isolated reading from exactly the one run
+    # that stormed on it (observed: a 2.5s query holding a 13.7s
+    # "isolated" row because only the polluted run promoted it)
+    leaders = sorted(queries, key=lambda n: (-queries[n], n))[:N_ISOLATED]
+    isolated = {
+        n: min(r["isolated"][n] for r in records if n in r.get("isolated", {}))
+        for n in leaders
+        if any(n in r.get("isolated", {}) for r in records)
+    }
+    total = round(sum(queries.values()), 4)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "isolated": isolated,
+                "isolated_note": base["isolated_note"]
+                + f"; record is the per-query MIN across {len(records)} "
+                "back-to-back sweeps (host-noise storms can cover one "
+                "sweep's full sample set for a query; independent sweeps "
+                "don't storm on the same query)",
+                "sf": base["sf"],
+                "runs_per_query": base["runs_per_query"],
+                "n_shards": base.get("n_shards"),
+                "n_sweeps": len(records),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    budget = 1600
+    selected: dict[str, float] = {}
+    for name, sec in sorted(queries.items(), key=lambda kv: (-kv[1], kv[0])):
+        trial = dict(selected)
+        trial[name] = sec
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        selected[name] = sec
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: selected[n] for n in sorted(selected)},
+        "sf": base["sf"],
+        "n_queries": len(queries),
+        "queries_omitted": len(queries) - len(selected),
+        "full_record": "BENCH_FULL.json",
+    }
+    print(json.dumps(payload, separators=(",", ":")))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--shard-worker":
         _shard_worker(sys.argv[2], sys.argv[3:])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--merge":
+        merge(sys.argv[2:])
     else:
         main()
