@@ -290,7 +290,10 @@ def merge(paths: list[str]) -> None:
                 "sf": base["sf"],
                 "runs_per_query": base["runs_per_query"],
                 "n_shards": base.get("n_shards"),
-                "n_sweeps": len(records),
+                # isolated-only supplements (records with no sweep column,
+                # used to fill leaders the per-run top-20s missed) are not
+                # sweeps
+                "n_sweeps": sum(1 for r in records if r["queries"]),
             },
             f,
             indent=1,
