@@ -524,9 +524,21 @@ KHOP_TOP_SUPPLIERS = 5
     "saying nothing — every customer reaches every other. Top-K "
     "capping bounds the self-join at K x deg(s) per supplier and is the "
     "standard neighborhood-expansion bound (same degree-cap lever as "
-    "q_dedup_minhash_stopshingle). The self-link (p2.c = p1.c) is "
-    "excluded inside the conditional distinct so single-customer "
-    "suppliers still count toward n_suppliers. At 100 TB: the trade "
+    "q_dedup_minhash_stopshingle). The 2-hop distinct count uses the "
+    "positional-BITMAP trick proven in q_agg_bitmap_distinct instead of "
+    "COUNT(DISTINCT): neighbor ids bucket into 63-bit words, bit_or "
+    "folds presence MAP-SIDE on the join output, and the count is a sum "
+    "of popcounts — the post-join shuffle carries at most one BIGINT "
+    "per (customer, 63-id block) instead of one row per distinct "
+    "(customer, neighbor) pair, and the Expand that two COUNT(DISTINCT) "
+    "aggregates force disappears (measured clean-window at sf0.1: "
+    "4.02s -> 2.81s; sf1 decade row re-measured in SCALING.md, round "
+    "8). n_suppliers is the edge "
+    "degree, counted BEFORE the fan-out (edges are distinct (c,s) by "
+    "the top-K row_number construction) and joined back on the same "
+    "customer key the 2-hop agg shuffles on. The self-link (p2.c = "
+    "p1.c) contributes a zero word, so single-customer suppliers still "
+    "yield a row with n_2hop_customers = 0. At 100 TB: the trade "
     "rollup is map-side combined; the top-K window shuffles one row per "
     "(customer, supplier); residual top-K-list skew (a supplier in "
     "everyone's top K) is AQE skew-split territory.",
@@ -536,6 +548,7 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from sales_data_pipeline_gcp_spark.functions.exact import dec
+    from sales_data_pipeline_gcp_spark.operators.relational2 import BITMAP_WORD
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select(
@@ -552,17 +565,36 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KHOP_TOP_SUPPLIERS)
         .select("c", "s")
     )
+    # degree = exact n_suppliers: edges carry one row per (c, s)
+    degree = edges.groupBy(F.col("c").alias("custkey")).agg(
+        F.count("*").alias("n_suppliers")
+    )
     p1 = edges.alias("p1")
     p2 = edges.alias("p2")
-    return (
+    # bitmap words over the 2-hop neighbor ids: self-links fold to 0-bits
+    words = (
         p1.join(p2, F.col("p1.s") == F.col("p2.s"))
-        .groupBy(F.col("p1.c").alias("custkey"))
-        .agg(
-            F.count_distinct(F.col("p1.s")).alias("n_suppliers"),
-            F.count_distinct(
-                F.when(F.col("p2.c") != F.col("p1.c"), F.col("p2.c"))
-            ).alias("n_2hop_customers"),
+        .select(
+            F.col("p1.c").alias("custkey"),
+            F.expr(f"`p2`.`c` div {BITMAP_WORD}").alias("word"),
+            F.when(
+                F.col("p2.c") != F.col("p1.c"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(`p2`.`c` % {BITMAP_WORD} AS INT))"
+                ),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bit"),
         )
+        .groupBy("custkey", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    twohop = words.groupBy("custkey").agg(
+        F.sum(F.bit_count("bits").cast("bigint")).alias("n_2hop_customers")
+    )
+    # every customer with edges self-matches in the join, so inner is total
+    return degree.join(twohop, "custkey").select(
+        "custkey", "n_suppliers", "n_2hop_customers"
     )
 
 

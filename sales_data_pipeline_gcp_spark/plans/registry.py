@@ -108,6 +108,85 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- round-8 rotation: the backlog-tail round, executed exactly as
+    # the round-7 verdict planned it (VERDICT item 1). Slot accounting,
+    # 50/50, ZERO additions this round (the registry is complete at 237;
+    # the window-budget lint reserves >=40 refresh slots and this round
+    # uses all 50 for refresh):
+    #  40  the round-3-vintage oracled greens — every query whose latest
+    #      driver adjudication is round 3, i.e. the ENTIRE remaining
+    #      refresh backlog older than round 4, in registration order.
+    #      Rounds 4-7 refactored shared helpers under these (fan_out,
+    #      decimal-exact sums, materialize); local parity re-proves them
+    #      every run, but the driver-adjudicated rows are stale.
+    #   1  implementation-touched this round: q_graph_khop — the 2-hop
+    #      distinct count was rewritten from two COUNT(DISTINCT)s (Expand
+    #      + raw-pair shuffle) to the positional-bitmap aggregation
+    #      (VERDICT item 5); same oracle, new plan, so it re-queues by
+    #      the touched-implementation precedent (rounds 5/7).
+    #   9  the round-4-vintage refresh head, registration order. The
+    #      remaining 38 round-4-vintage queries lead the round-9
+    #      rotation. After r8 goes green no oracled query's latest
+    #      adjudication is older than round 4, and the staleness lint
+    #      (tests/test_plan_lint.py::test_adjudication_freshness) now
+    #      asserts the rotation can never stall past K=5 rounds.
+    # round-3-vintage refresh backlog (all of it), registration order
+    "q_string_scalars",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding",
+    "q_dedup_fuzzy",
+    "q_sim_ann_ivf",
+    "q_embed_quantize",
+    "q_kmeans_iter",
+    "q_text_repetition",
+    "q_text_normalize",
+    "q_text_redact",
+    "q_text_chunk",
+    "q_stream_tumbling",
+    "q_percentile",
+    "q_argmin_join",
+    "q_set_bag_ops",
+    "q_window_cume",
+    "q_agg_approx_bounds",
+    "q_domain_mix",
+    "q_decontaminate",
+    "q_dedup_lines",
+    "q_tpch_q1_pricing",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q10_returns",
+    "q_tpch_q4_late_orders",
+    "q_tpch_q14_promo",
+    "q_tpch_q16_supplier_variety",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q21_waiting",
+    "q_tpch_q22_idle_rich",
+    "q_tpch_q8_market_share",
+    "q_tpch_q11_important_parts",
+    "q_tpch_q13_custdist",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_qty",
+    "q_relational_division",
+    "q_inverted_index",
+    "q_bm25",
+    "q_seq_pack",
+    # implementation touched in round 8 (bitmap 2-hop rewrite)
+    "q_graph_khop",
+    # round-4-vintage refresh head, registration order
+    "q_agg_cube",
+    "q_join_inner",
+    "q_join_range",
+    "q_join_star",
+    "q_window_rank",
+    "q_sort_multi",
+    "q_set_intersect_except",
+    "q_window_topk_per_group",
+    "q_date_scalars",
+)
+
+
+_ROUND7_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-7 rotation: the freshness round, executed exactly as the
     # round-6 verdict planned it (VERDICT item 4) with the window budgeted
     # BEFORE any additions (the test_window_budget lint now enforces

@@ -164,6 +164,55 @@ def test_window_budget_caps_new_additions():
     )
 
 
+#: Maximum allowed age (in rounds) of an oracled query's latest committed
+#: driver adjudication, ASSUMING the planned DRIVER_WINDOW goes green this
+#: round. With ~237 queries, >=40 refresh slots/round, and the oldest-first
+#: rotation, every query is re-adjudicated within ~5 rounds; this lint
+#: fails the suite if the rotation ever stalls instead (round-7 VERDICT
+#: item 6 — the window-budget lint caps additions and the oracle-hash lint
+#: re-queues rewrites, but nothing asserted a maximum age for a green row).
+MAX_ADJUDICATION_AGE_ROUNDS = 5
+
+
+def test_adjudication_freshness():
+    """Every oracled query's latest committed driver adjudication must be
+    within MAX_ADJUDICATION_AGE_ROUNDS of the CURRENT round (the round the
+    planned DRIVER_WINDOW will run in = latest committed round + 1), where
+    a query holding a DRIVER_WINDOW slot counts as current-round fresh.
+    Oldest-first rotation keeps this invariant for free; a stalled or
+    misplanned rotation fails here at commit time, before the driver
+    runs."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), rnd)
+    current_round = max(latest.values(), default=0) + 1
+    window = set(registry.DRIVER_WINDOW)
+    stale = []
+    for name, q in sorted(ALL.items()):
+        if not q.oracle:
+            continue  # rows-only queries hold no refreshable hash evidence
+        effective = current_round if name in window else latest.get(name, 0)
+        age = current_round - effective
+        if age > MAX_ADJUDICATION_AGE_ROUNDS:
+            stale.append((name, latest.get(name), age))
+    assert not stale, (
+        f"{len(stale)} oracled queries' latest driver adjudication is older "
+        f"than {MAX_ADJUDICATION_AGE_ROUNDS} rounds and they hold no "
+        f"DRIVER_WINDOW slot this round (round {current_round}): {stale} — "
+        "head the rotation with the oldest-vintage queries"
+    )
+
+
 def test_oracle_rewrite_requeues_adjudication():
     """An oracle rewrite must re-queue its query for driver adjudication
     (round-6 ADVICE: q_grouped_trend's oracle was rewritten in round 6
