@@ -15,13 +15,24 @@ underlying exact value has fewer than ``s`` decimal digits (true for all
 fixture money/quantity columns and their 2-3-factor products), so Spark's
 HALF_UP and DuckDB's rounding cannot disagree.
 
-Scale-selection rule (learned the hard way at sf0.1): pick the SMALLEST
-scale that exactly represents the per-row values, because the final
-decimal->double conversion is only guaranteed identical cross-engine while
-``sum * 10^s < 2^53`` — beyond that, DuckDB's int128->double pre-rounding
-before the 10^s division can differ from Spark's correctly-rounded
-BigDecimal conversion by 1 ulp. A 2-decimal money column summed to ~1e9 at
-scale 6 leaves 4 orders of margin; scale 8 does not.
+The FINAL decimal->double conversion goes through a STRING on both sides
+(``CAST(CAST(sum AS VARCHAR) AS DOUBLE)``), not a direct cast. A direct
+cast is only cross-engine-identical while ``sum * 10^s < 2^53``: beyond
+that, DuckDB's int128->double pre-rounding before the 10^s division can
+differ from Spark's correctly-rounded BigDecimal conversion by 1 ulp —
+round-8 sf1 parity caught exactly this on q_agg_group's sum_charge
+(sum ~2.8e10 at scale 6 -> scaled integer 2.8e16 > 2^53; Spark
+...941590 -> 0x...430, DuckDB -> 0x...431). Decimal->string is EXACT and
+format-identical in both engines for scale <= 6 (plain notation, full
+trailing zeros; Java BigDecimal.toString goes scientific only below 1e-7),
+and string->double is correctly rounded in both (Double.parseDouble /
+fast_float), so the string route yields bit-identical doubles at ANY
+magnitude — measured identical on the 2.8e16-scaled sf1 sums. Keep scales
+<= 6 (the string-format-identical range) and SMALL enough to exactly
+represent per-row values; the sum's magnitude no longer matters.
+
+This only converts the few FINAL per-group values (post-aggregation), so
+the string round-trip costs nothing in the hot path.
 """
 
 from __future__ import annotations
@@ -42,9 +53,11 @@ def dec(col: Column | str, scale: int = 6) -> Column:
 def exact_sum(col: Column | str, scale: int = 6) -> Column:
     """Order-independent SUM over a double column, returned as DOUBLE.
 
-    SQL oracle equivalent: ``CAST(SUM(CAST(x AS DECIMAL(38,s))) AS DOUBLE)``.
+    SQL oracle equivalent:
+    ``CAST(CAST(SUM(CAST(x AS DECIMAL(38,s))) AS VARCHAR) AS DOUBLE)``
+    (string-routed final conversion — see module docstring).
     """
-    return F.sum(dec(col, scale)).cast("double")
+    return F.sum(dec(col, scale)).cast("string").cast("double")
 
 
 def exact_avg(col: Column | str, scale: int = 6) -> Column:
@@ -57,8 +70,37 @@ def exact_avg(col: Column | str, scale: int = 6) -> Column:
 
 
 def sql_sum(expr: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) "
+        "AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def sql_avg(expr: str, scale: int = 6) -> str:
     return f"{sql_sum(expr, scale)} / COUNT({expr})"
+
+
+def sql_sum_direct(expr: str, scale: int = 6) -> str:
+    """DEPRECATED pre-round-8 direct-cast form — round-9 migration pending.
+
+    The string-routed ``sql_sum`` is the canonical semantics, but an oracle
+    rewrite must hold a DRIVER_WINDOW adjudication slot in the same commit
+    (tests/test_plan_lint.py::test_oracle_rewrite_requeues_adjudication)
+    and round 8's 50 slots are fully claimed by the rotation backlog plus
+    the 19 high-magnitude migrations. The 9 remaining call sites keep this
+    byte-identical pre-round-8 oracle text for one round; each is safe at
+    sf1 magnitudes (their scaled sums sit >=2 orders below the 2^53
+    direct-cast divergence boundary — per-group sums of bounded groups, or
+    scale <=2 totals <=1e13). Round 9: migrate them to ``sql_sum`` with
+    window slots and delete this shim.
+
+    Spark twins already use the string-routed ``exact_sum`` — in the safe
+    range both forms produce the same correctly-rounded double, so mixing
+    routes across engines is exact HERE (and only here).
+    """
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
+
+
+def sql_avg_direct(expr: str, scale: int = 6) -> str:
+    """DEPRECATED — see ``sql_sum_direct``."""
+    return f"{sql_sum_direct(expr, scale)} / COUNT({expr})"

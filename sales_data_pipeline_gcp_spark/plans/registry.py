@@ -124,12 +124,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #      + raw-pair shuffle) to the positional-bitmap aggregation
     #      (VERDICT item 5); same oracle, new plan, so it re-queues by
     #      the touched-implementation precedent (rounds 5/7).
-    #   9  the round-4-vintage refresh head, registration order. The
-    #      remaining 38 round-4-vintage queries lead the round-9
-    #      rotation. After r8 goes green no oracled query's latest
-    #      adjudication is older than round 4, and the staleness lint
-    #      (tests/test_plan_lint.py::test_adjudication_freshness) now
-    #      asserts the rotation can never stall past K=5 rounds.
+    #   9  oracle-rewritten this round (the rewrite-requeue lint outranks
+    #      the plain round-4-vintage refresh head, which moves to round
+    #      9): sf1 parity caught a 1-ulp decimal->double divergence on
+    #      q_agg_group's sum_charge (scaled sum > 2^53 — see
+    #      functions/exact.py), so sql_sum/exact_sum now string-route the
+    #      final conversion. 19 oracles changed text; 13 already hold
+    #      rotation slots above, and these remaining 6 (the high-magnitude
+    #      global/large-group revenue sums, plus 3 slots retained by
+    #      already-listed q_agg_cube/q_join_inner/q_join_star) take the
+    #      discretionary slots. 9 low-magnitude call sites keep the
+    #      byte-identical old oracle via sql_sum_direct and migrate with
+    #      round-9 slots. The 6 displaced r4-vintage refreshers
+    #      (q_join_range, q_window_rank, q_sort_multi,
+    #      q_set_intersect_except, q_window_topk_per_group,
+    #      q_date_scalars) are age 4 at the round-9 commit — within the
+    #      staleness lint's K=5 — and head the round-9 rotation with the
+    #      other 38 round-4-vintage queries. After r8 goes green no
+    #      oracled query's latest adjudication is older than round 4, and
+    #      tests/test_plan_lint.py::test_adjudication_freshness asserts
+    #      the rotation can never stall past K=5 rounds.
     # round-3-vintage refresh backlog (all of it), registration order
     "q_string_scalars",
     "q_dedup_exact",
@@ -173,16 +187,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_seq_pack",
     # implementation touched in round 8 (bitmap 2-hop rewrite)
     "q_graph_khop",
-    # round-4-vintage refresh head, registration order
+    # oracle rewritten in round 8 (string-routed decimal->double): the 6
+    # high-magnitude migrations plus the 3 r4-vintage refreshers whose
+    # oracles also changed (q_agg_cube/q_join_inner/q_join_star keep
+    # their slots from the original refresh-head plan)
     "q_agg_cube",
     "q_join_inner",
-    "q_join_range",
     "q_join_star",
-    "q_window_rank",
-    "q_sort_multi",
-    "q_set_intersect_except",
-    "q_window_topk_per_group",
-    "q_date_scalars",
+    "q_agg_group",
+    "q_agg_global",
+    "q_tpch_q6_forecast",
+    "q_tpch_q7_volume",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q18_big_orders",
 )
 
 
