@@ -1,0 +1,193 @@
+"""sf1 CORRECTNESS parity (round-7 VERDICT item 2): run the DuckDB oracle
+differential over the DERIVED sf1 fixtures (.scale/sf1, ~6M lineitem rows
+— see scale_fixtures.py) for the 13 cost-leader families plus the
+decimal-exact aggregation queries, and commit the per-query
+rows/schema/hash record as PARITY_SF1.json.
+
+Why this exists: driver adjudication runs at sf0.01 (~60k lineitem rows),
+which cannot expose 6M-row accumulator drift — the decimal-exact
+aggregation contract (partial-aggregation-order-independent doubles) and
+the candidate-set algorithms' exactness claims were previously proven only
+at small SF; SCALING.md measured their sf1 COST but not their sf1
+correctness. This harness runs each query's Spark plan AND its embedded
+DuckDB oracle on the same sf1 parquet and compares row count, dtype-kind
+schema, and an order-insensitive canonical value hash (the same
+canonicalization as tests/parity.py, which mirrors the driver's).
+
+Each query runs in a FRESH subprocess with a wall-clock budget: the exact
+all-pairs completeness oracles (q_dedup_prefix_filter / q_graph_triangles
+share the quadratic co-shingle pairs CTE) are superlinear BY DESIGN, and
+on the vocabulary-saturated derived fixture the DuckDB side may exceed any
+reasonable budget — a timeout is recorded honestly as ``err: timeout``
+rather than silently skipped, and those queries also run against the
+fresh-vocabulary sf1 variant (.scale/sf1fv) where the co-shingle pair
+volume scales the way a real corpus's would.
+
+Usage:
+    python parity_sf1.py            # full set -> PARITY_SF1.json
+    python parity_sf1.py q_a q_b    # subset (still merges into the record)
+Env: PARITY_SF1_TIMEOUT (sec/query, default 1800).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+SF1_DIR = os.path.join(HERE, ".scale", "sf1")
+SF1FV_DIR = os.path.join(HERE, ".scale", "sf1fv")
+OUT = os.path.join(HERE, "PARITY_SF1.json")
+
+#: the 13 cost-leader families of scale_report.SF1_QUERIES (q_stream_join
+#: has no oracle -> rows-only, recorded as such) + the decimal-exact
+#: aggregation class the round-7 verdict named (overflow/drift-exposed).
+QUERIES: tuple[str, ...] = (
+    "q_dedup_prefix_filter",
+    "q_graph_triangles",
+    "q_graph_triangles_lsh",
+    "q_dedup_clusters",
+    "q_dedup_minhash",
+    "q_dedup_snm",
+    "q_corpus_prepare",
+    "q_pagerank",
+    "q_graph_khop",
+    "q_graph_sssp",
+    "q_sim_pq_adc",
+    "q_sim_ann_ivf",
+    "q_stream_join",
+    # decimal-exact aggregation contract at 6M rows
+    "q_tpch_q1_pricing",
+    "q_agg_group",
+    "q_price_index",
+)
+
+#: df-sensitive families re-run on the fresh-vocabulary variant (realistic
+#: Heaps-law decade next to the saturated worst case — VERDICT item 4).
+FV_QUERIES: tuple[str, ...] = (
+    "q_dedup_prefix_filter",
+    "q_graph_triangles",
+    "q_graph_triangles_lsh",
+    "q_dedup_minhash",
+)
+
+
+def _duck_views_sql(sf_dir: str) -> list[str]:
+    """View DDL for DuckDB over a fixture dir; Spark writes each table as
+    a directory of part files, the driver fixtures as a single file."""
+    from sales_data_pipeline_gcp_spark.io import TABLES
+
+    stmts = []
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        stmts.append(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return stmts
+
+
+def _hash_canon(rows) -> str:
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def _worker(name: str, sf_dir: str) -> None:
+    """Fresh-process: run one query's Spark plan + oracle at sf_dir and
+    print one RESULT| JSON line."""
+    import duckdb
+
+    from sales_data_pipeline_gcp_spark.plans import registry
+    from sales_data_pipeline_gcp_spark.session import get_spark
+    from tests.parity import _kind, canon
+
+    q = registry.all_queries()[name]
+    rec: dict = {"sf_dir": os.path.relpath(sf_dir, HERE)}
+    spark = get_spark(f"parity-sf1-{name}")
+    t0 = time.perf_counter()
+    got = q.fn(spark, sf_dir).toPandas()
+    rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+    rec["spark_rows"] = len(got)
+    if q.oracle is None:
+        rec.update(err="no_oracle", rows_checked=len(got) >= 0, n_cols=len(got.columns))
+    else:
+        con = duckdb.connect()
+        for stmt in _duck_views_sql(sf_dir):
+            con.execute(stmt)
+        t0 = time.perf_counter()
+        exp = con.execute(q.oracle).df()
+        rec["oracle_sec"] = round(time.perf_counter() - t0, 2)
+        rec["oracle_rows"] = len(exp)
+        rec["rows_match"] = len(got) == len(exp)
+        rec["schema_match"] = sorted(got.columns) == sorted(exp.columns) and all(
+            _kind(got[c].dtype) == _kind(exp[c].dtype) for c in got.columns
+        )
+        rec["spark_hash"] = _hash_canon(canon(got))
+        rec["oracle_hash"] = _hash_canon(canon(exp))
+        rec["hash_match"] = rec["spark_hash"] == rec["oracle_hash"]
+        rec["err"] = None
+    spark.stop()
+    print("RESULT|" + json.dumps(rec), flush=True)
+
+
+def main(only: list[str]) -> None:
+    timeout = int(os.environ.get("PARITY_SF1_TIMEOUT", "1800"))
+    jobs = [(n, SF1_DIR) for n in QUERIES] + [(n, SF1FV_DIR) for n in FV_QUERIES]
+    jobs = [(n, d) for n, d in jobs if (not only or n in only) and os.path.isdir(d)]
+    record: dict = {}
+    if os.path.exists(OUT):
+        record = json.load(open(OUT))
+    results = record.setdefault("queries", {})
+    for name, sf_dir in jobs:
+        key = name if sf_dir == SF1_DIR else f"{name}@fv"
+        print(f"--- {key}", flush=True)
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name, sf_dir],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT|")]
+            if proc.returncode != 0 or not lines:
+                results[key] = {
+                    "err": f"rc={proc.returncode}",
+                    "tail": (proc.stderr or proc.stdout)[-800:],
+                    "sf_dir": os.path.relpath(sf_dir, HERE),
+                }
+            else:
+                results[key] = json.loads(lines[-1].removeprefix("RESULT|"))
+        except subprocess.TimeoutExpired:
+            results[key] = {
+                "err": "timeout",
+                "timeout_sec": timeout,
+                "sf_dir": os.path.relpath(sf_dir, HERE),
+            }
+        results[key]["wall_sec"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps(results[key]), flush=True)
+        record["meta"] = {
+            "fixture": "derived sf1 (scale_fixtures.py): 10x sf0.1 replica union, "
+            "~6M lineitem rows; @fv rows use the fresh-vocabulary documents variant",
+            "comparison": "tests/parity.py canonicalization: row count + dtype-kind "
+            "schema + order-insensitive md5 over canonical rows",
+            "generated_by": "parity_sf1.py",
+            "timeout_sec": timeout,
+        }
+        with open(OUT, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    ok = sum(1 for r in results.values() if r.get("hash_match"))
+    print(f"done: {ok}/{len(results)} hash-green -> {OUT}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 3 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], sys.argv[3])
+    else:
+        main(sys.argv[1:])

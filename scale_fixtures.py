@@ -33,6 +33,20 @@ against DuckDB; nothing here feeds a correctness check):
   (10x density per window, the streaming-aggregation scale axis).
 
 Usage: python scale_fixtures.py  (writes .scale/sf1/*.parquet, ~10 min)
+       python scale_fixtures.py --fresh-vocab  (writes .scale/sf1fv/)
+
+``--fresh-vocab`` (round-7 VERDICT item 4) writes a SECOND documents
+decade at .scale/sf1fv: replica i>0 suffixes every token with a replica
+marker, so each replica's vocabulary is entirely fresh — every token's
+document frequency stays exactly its sf0.1 value while the vocabulary
+grows 10x. The default sf1 fixture is the opposite extreme: the salt
+tokens keep cross-replica Jaccard below threshold but the base vocabulary
+is shared, so every token's df grows ~10x — the Heaps-law WORST CASE for
+df-sensitive candidate generation (prefix-filter's df-ordered prefixes,
+co-shingle pair volume ~ sum over shingles of df^2). A real 10x corpus
+sits between the two (Heaps: vocab ~ n^0.7), so the pair
+(sf1, sf1fv) BRACKETS the realistic decade; SCALING.md reports both.
+Non-document tables are symlinked to ../sf1 (same replication).
 """
 
 from __future__ import annotations
@@ -134,5 +148,47 @@ def main() -> None:
     spark.stop()
 
 
+FV_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1fv")
+
+
+def fresh_vocab() -> None:
+    """Write the fresh-vocabulary documents decade (.scale/sf1fv); see
+    module docstring. Requires .scale/sf1 to exist (non-document tables
+    are symlinked from it)."""
+    spark = get_spark("scale-fixtures-fv")
+    os.makedirs(FV_OUT, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    u_doc = _shift_unit(docs, "doc_id")
+
+    parts = []
+    for i in range(REPLICAS):
+        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * u_doc))
+        if i > 0:
+            # suffix every token: per-replica vocabulary is disjoint, each
+            # token's df stays exactly its sf0.1 value (within-replica
+            # near-dup structure untouched; cross-replica co-shingles zero)
+            r = r.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1~r{i}")
+            ).withColumn("n_chars", F.length("text"))
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    dest = f"{FV_OUT}/documents.parquet"
+    out.coalesce(max(1, out.rdd.getNumPartitions() // 2)).write.mode("overwrite").parquet(dest)
+    print(f"documents: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings".split()
+    ):
+        link = f"{FV_OUT}/{t}.parquet"
+        if not os.path.lexists(link):
+            os.symlink(f"../sf1/{t}.parquet", link)
+        print(f"{t}: symlink -> ../sf1/{t}.parquet")
+
+
 if __name__ == "__main__":
-    main()
+    if "--fresh-vocab" in sys.argv:
+        fresh_vocab()
+    else:
+        main()
