@@ -156,9 +156,22 @@ SF1_QUERIES = [
     "q_stream_join",           # fixture-FIXED micro-batch floor (expect flat)
 ]
 SF1_DIR = "/root/repo/.scale/sf1"
+#: fresh-vocabulary variant (scale_fixtures.py --fresh-vocab): the
+#: realistic-side bracket of the Heaps-law decade for df-sensitive
+#: candidate generation — the default sf1 fixture saturates every
+#: token's document frequency (~10x df, zero new vocabulary), while
+#: sf1fv holds each token's df at its sf0.1 value (10x vocabulary).
+#: A real 10x corpus sits between the two readings.
+SF1FV_DIR = "/root/repo/.scale/sf1fv"
+SF1FV_QUERIES = [
+    "q_dedup_prefix_filter",   # df-ordered prefixes: the saturation extreme
+    "q_dedup_ngram_jaccard",   # exact co-shingle anchor (df^2 pair volume)
+    "q_dedup_minhash",         # banded LSH (candidate-bounded control)
+    "q_graph_triangles_lsh",   # LSH-fed production twin (control)
+]
 
 
-def _sf1_worker(name: str) -> None:
+def _sf1_worker(name: str, sf1_dir: str = SF1_DIR) -> None:
     """Fresh-process measurement of one query at sf0.1 then sf1 — per the
     measurement-hygiene rule, heavy-query SCALING rows use isolated
     fresh-process numbers (a shared session's accumulated checkpoint
@@ -166,20 +179,20 @@ def _sf1_worker(name: str) -> None:
     spark = get_spark(f"sf1-{name}")
     fn = registry.all_queries()[name].fn
     t01 = _measure(spark, fn, SFS[2])
-    t1 = _measure(spark, fn, SF1_DIR)
+    t1 = _measure(spark, fn, sf1_dir)
     print(f"SF1ROW | {name} | {t01:.2f} | {t1:.2f} | {t1 / t01:.1f}x |", flush=True)
     spark.stop()
 
 
-def sf1_main() -> None:
+def sf1_main(queries: list[str], sf1_dir: str) -> None:
     import subprocess
     import sys as _sys
 
-    print("| query | sf0.1 s | sf1 s | x(1/0.1) |")
+    print(f"| query | sf0.1 s | {os.path.basename(sf1_dir)} s | x(1/0.1) |")
     print("|---|---|---|---|")
-    for name in SF1_QUERIES:
+    for name in queries:
         proc = subprocess.run(
-            [_sys.executable, os.path.abspath(__file__), "--sf1-worker", name],
+            [_sys.executable, os.path.abspath(__file__), "--sf1-worker", name, sf1_dir],
             capture_output=True,
             text=True,
         )
@@ -195,8 +208,10 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 2 and sys.argv[1] == "--sf1-worker":
-        _sf1_worker(sys.argv[2])
+        _sf1_worker(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else SF1_DIR)
     elif len(sys.argv) > 1 and sys.argv[1] == "--sf1":
-        sf1_main()
+        sf1_main(SF1_QUERIES if len(sys.argv) == 2 else sys.argv[2:], SF1_DIR)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sf1fv":
+        sf1_main(SF1FV_QUERIES if len(sys.argv) == 2 else sys.argv[2:], SF1FV_DIR)
     else:
         main()
