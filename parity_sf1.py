@@ -66,6 +66,11 @@ QUERIES: tuple[str, ...] = (
     "q_tpch_q1_pricing",
     "q_agg_group",
     "q_price_index",
+    # scale-0 cents-unit moment sums (sxy ~4.5e16 scaled at sf1 — past
+    # the 2^53 direct-cast boundary; measured hash-green, see the
+    # functions/exact.py migration ledger)
+    "q_agg_stats",
+    "q_ols_regression",
 )
 
 #: df-sensitive families re-run on the fresh-vocabulary variant (realistic

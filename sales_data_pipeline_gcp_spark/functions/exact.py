@@ -33,6 +33,39 @@ represent per-row values; the sum's magnitude no longer matters.
 
 This only converts the few FINAL per-group values (post-aggregation), so
 the string round-trip costs nothing in the hot path.
+
+ROUND-9 MIGRATION LEDGER — direct-cast sites still outstanding (each
+needs a DRIVER_WINDOW slot when its oracle text changes; magnitudes
+audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
+
+1. The 9 ``sql_sum_direct`` shim sites (this module): q_agg_rollup,
+   q_agg_grouping_sets, q_agg_salted, q_join_salted, q_join_outer,
+   q_join_right, q_join_full, q_window_share, q_tpch_q3_shipping.
+   All <= ~3.5e12 scaled at sf1 (safe); migrate for uniformity and
+   delete the shims.
+2. Inline ``CAST(SUM(CAST(.. AS DECIMAL)) AS DOUBLE)`` with sf1-scale
+   headroom < 2 orders — priority:
+   - stats.py scale-0 cents-unit moment sums (q_agg_stats,
+     q_ols_regression): sxy/sxx/syy reach ~4.5e16 scaled at sf1 — past
+     the boundary, BUT measured hash-green at sf1 (PARITY_SF1.json):
+     with scale 0 there is no post-conversion 10^s division, and both
+     engines' int->double paths agreed on these values. Green is
+     measured, not guaranteed (DuckDB's int128->double composes
+     upper/lower doubles, not a certified single rounding) — migrate
+     opportunistically in round 9, keep the family in the sf1 parity
+     set as the tripwire.
+   - stats.py:400 chi2 (scale 12): contrib sum ~1e4 x 1e12 = 1e16 —
+     past the boundary at sf1; same scale-s division class as
+     sum_charge. Migrate in round 9 with a slot.
+   - components.py:261 pagerank contribution sums (scale 12): per-node
+     in-degree-bounded (~1e14) — SAFE, and empirically hash-green at sf1
+     (PARITY_SF1.json); no action needed.
+3. ``spark.sql``-surface queries (sql_surface.py) execute ONE dialect-
+   neutral text on both engines, so a single edit migrates both sides:
+   q_sql_revenue_by_nation (scale 4, ~3.5e14 at sf1 — 1.4 orders of
+   headroom, crosses near sf30). Low priority.
+4. Scaled-integer BIGINT outputs (``CAST(SUM(..) AS BIGINT)``) are exact
+   by construction — no conversion ambiguity, audited, no action.
 """
 
 from __future__ import annotations
