@@ -203,6 +203,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
+#: ROUND-9 ROTATION PLAN (written at the end of round 8, assuming the r8
+#: window goes green; execute exactly as planned, slot accounting 50/50):
+#:  44  the full round-4-vintage refresh backlog, registration order —
+#:      the 38 originally planned for r8's tail plus the 6 displaced by
+#:      the oracle-rewrite requeue (q_join_range, q_window_rank,
+#:      q_sort_multi, q_set_intersect_except, q_window_topk_per_group,
+#:      q_date_scalars). At the r9 commit they are age 5 — the staleness
+#:      lint's limit — so ALL of them must hold r9 slots.
+#:   6  oracle migrations from the functions/exact.py round-9 ledger, in
+#:      risk order: q_chisq_independence (scale-12 contrib sum ~1e16 at
+#:      sf1 — past the 2^53 boundary, same class as the q_agg_group bug)
+#:      plus 5 of the 9 sql_sum_direct shim sites. Each migration commit
+#:      flips the call site to the string-routed sql_sum, refreshes
+#:      ORACLE_HASHES.json, and removes the name from the
+#:      DIRECT_CAST_LEGACY ratchet (tests/test_plan_lint.py).
+#:  The remaining 4 shim sites (all >=2 orders under the boundary at
+#:  sf1) migrate in round 10 with slots; zero registry additions unless
+#:  the judge directs otherwise (budget allows <=10).
 _ROUND7_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-7 rotation: the freshness round, executed exactly as the
     # round-6 verdict planned it (VERDICT item 4) with the window budgeted

@@ -262,3 +262,52 @@ def test_coverage_count_in_sync():
     assert declared == len(ALL), f"COVERAGE.md says {declared} queries; registry has {len(ALL)}"
     assert oracled == n_oracled, f"COVERAGE.md says {oracled} oracled; registry has {n_oracled}"
     assert rows_only == len(ALL) - n_oracled
+
+
+#: Oracles still carrying the pre-round-8 DIRECT decimal->double cast
+#: (``CAST(SUM(CAST(.. AS DECIMAL(38,s))) .. AS DOUBLE)``). The direct
+#: cast is only cross-engine-exact while the scaled sum stays under 2^53
+#: (see functions/exact.py — sf1 parity caught a 1-ulp divergence past
+#: it); the string-routed ``sql_sum`` is exact at any magnitude. This is
+#: a RATCHET: names may only LEAVE this set as round-9+ migrations land
+#: (each departure needs a DRIVER_WINDOW slot for its oracle rewrite); a
+#: NEW query must use the string route from birth. Sites audited in the
+#: functions/exact.py migration ledger; the highest-magnitude class
+#: (q_agg_stats / q_ols_regression, ~4.5e16 scaled at sf1) is pinned
+#: hash-green in PARITY_SF1.json as the tripwire.
+DIRECT_CAST_LEGACY = {
+    "q_agg_grouping_sets", "q_agg_rollup", "q_agg_salted", "q_agg_stats",
+    "q_attribution", "q_bollinger_bands", "q_chisq_independence",
+    "q_cohort_ltv", "q_decayed_avg", "q_event_rates", "q_join_bucketed",
+    "q_join_dpp", "q_join_full", "q_join_outer", "q_join_right",
+    "q_join_salted", "q_kmeans_iter", "q_null_semantics",
+    "q_ols_regression", "q_outlier_zscore", "q_rollup_hierarchy",
+    "q_scan_evolved", "q_scan_orc", "q_scan_pruned", "q_sessionize",
+    "q_sql_revenue_by_nation", "q_sql_segment_leaders", "q_stream_session",
+    "q_stream_tumbling", "q_subquery_scalar", "q_time_weighted_avg",
+    "q_timeseries_gapfill", "q_timeseries_interpolate",
+    "q_tpch_q3_shipping", "q_window_frame", "q_window_rolling_days",
+    "q_window_share", "q_winsorized_mean", "q_wow_growth",
+}
+
+
+def test_direct_decimal_cast_is_a_closed_set():
+    """No new oracle may use the direct decimal-sum->double cast; the
+    legacy set only shrinks as migrations land (ratchet)."""
+    pat = re.compile(
+        r"CAST\(\s*SUM\(CAST\(.*?AS\s+DECIMAL\(38,\s*\d+\)\)(?:\s*\*\s*\w+)?\)\s*"
+        r"(?:OVER\s*(?:\(\s*\)|\w+)\s*)?AS\s+DOUBLE\)",
+        re.S,
+    )
+    current = {n for n, q in ALL.items() if q.oracle and pat.search(q.oracle)}
+    new = current - DIRECT_CAST_LEGACY
+    assert not new, (
+        f"new queries use the direct decimal->double cast {sorted(new)} — "
+        "use functions/exact.py sql_sum (string-routed, exact at any "
+        "magnitude) instead"
+    )
+    migrated = DIRECT_CAST_LEGACY - current
+    assert not migrated, (
+        f"{sorted(migrated)} no longer carry the direct cast — remove them "
+        "from DIRECT_CAST_LEGACY to advance the ratchet"
+    )
