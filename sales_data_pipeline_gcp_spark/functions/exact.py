@@ -44,7 +44,22 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
    All <= ~3.5e12 scaled at sf1 (safe); migrate for uniformity and
    delete the shims.
 2. Inline ``CAST(SUM(CAST(.. AS DECIMAL)) AS DOUBLE)`` with sf1-scale
-   headroom < 2 orders — priority:
+   headroom < 2 orders — priority (the WHOLE 39-query DIRECT_CAST_LEGACY
+   ratchet set was empirically parity-tested at sf1; results committed in
+   PARITY_SF1.json "legacy_direct_cast" — 36/37 hash-green, one
+   divergent):
+   - timeseries.py q_bollinger_bands — MEASURED DIVERGENT at sf1
+     (6/2399 rows, last 2-3 digits of sd/upper/lower): the 7-day window
+     sums of squared daily cents reach ~6e22 (far past 2^53; DuckDB's
+     int128->double upper/lower composition vs Spark's BigDecimal differ
+     by 1 ulp) and the sum-of-squares cancellation (sxx - sx^2/n)
+     amplifies the ulp into the visible digits. FIRST in the round-9
+     migration order. Note: the q_agg_stats in-oracle comment claiming
+     scale-0 decimal->double is "a SINGLE rounding in both engines even
+     beyond 2^53" is now known WRONG in general (q_agg_stats happens to
+     agree at sf1's values; bollinger does not) — the comment lives
+     inside oracle text, so correcting it rides the same migration
+     commit that re-queues the query.
    - stats.py scale-0 cents-unit moment sums (q_agg_stats,
      q_ols_regression): sxy/sxx/syy reach ~4.5e16 scaled at sf1 — past
      the boundary, BUT measured hash-green at sf1 (PARITY_SF1.json):

@@ -212,15 +212,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #:      q_date_scalars). At the r9 commit they are age 5 — the staleness
 #:      lint's limit — so ALL of them must hold r9 slots.
 #:   6  oracle migrations from the functions/exact.py round-9 ledger, in
-#:      risk order: q_chisq_independence (scale-12 contrib sum ~1e16 at
-#:      sf1 — past the 2^53 boundary, same class as the q_agg_group bug)
-#:      plus 5 of the 9 sql_sum_direct shim sites. Each migration commit
-#:      flips the call site to the string-routed sql_sum, refreshes
-#:      ORACLE_HASHES.json, and removes the name from the
-#:      DIRECT_CAST_LEGACY ratchet (tests/test_plan_lint.py).
-#:  The remaining 4 shim sites (all >=2 orders under the boundary at
-#:  sf1) migrate in round 10 with slots; zero registry additions unless
-#:  the judge directs otherwise (budget allows <=10).
+#:      MEASURED risk order (the whole 39-query DIRECT_CAST_LEGACY set
+#:      was sf1-parity-tested end of round 8; PARITY_SF1.json
+#:      "legacy_direct_cast"): q_bollinger_bands FIRST — the one
+#:      measured-divergent query (6/2399 rows at sf1: squared-cents
+#:      window sums ~6e22 past 2^53, cancellation-amplified) — then
+#:      q_chisq_independence (scale-12 contrib sum ~1e16, past the
+#:      boundary but measured green), then 4 of the 9 sql_sum_direct
+#:      shim sites. Each migration commit flips the call site to the
+#:      string-routed sql_sum, refreshes ORACLE_HASHES.json, and removes
+#:      the name from the DIRECT_CAST_LEGACY ratchet
+#:      (tests/test_plan_lint.py).
+#:  The remaining 5 shim sites (all >=2 orders under the boundary at
+#:  sf1, measured green) migrate in round 10 with slots; zero registry
+#:  additions unless the judge directs otherwise (budget allows <=10).
 _ROUND7_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-7 rotation: the freshness round, executed exactly as the
     # round-6 verdict planned it (VERDICT item 4) with the window budgeted
