@@ -187,8 +187,50 @@ def fresh_vocab() -> None:
         print(f"{t}: symlink -> ../sf1/{t}.parquet")
 
 
+SF10_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf10")
+
+
+def sf10_lineitem() -> None:
+    """Derive a THIRD decade for the overflow-exposed decimal-exact
+    aggregation class only: .scale/sf10/lineitem.parquet = 10 key-shifted
+    replicas of the sf1 lineitem (~60M rows), other tables symlinked to
+    ../sf1. At sf10 the scale-6 charge sum reaches ~2.8e17 on the scaled
+    integer — 30x past the 2^53 boundary where the pre-round-8 direct
+    cast diverged — so hash-green parity here is the string route's
+    scale-up proof, not a repeat of the sf1 point."""
+    spark = get_spark("scale-fixtures-sf10")
+    os.makedirs(SF10_OUT, exist_ok=True)
+    src = os.path.join(OUT, "lineitem.parquet")
+    li = spark.read.parquet(src)
+    u_order = _shift_unit(li, "l_orderkey")
+    u_part = _shift_unit(li, "l_partkey")
+    u_supp = _shift_unit(li, "l_suppkey")
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * u_order))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * u_part))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * u_supp))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    dest = f"{SF10_OUT}/lineitem.parquet"
+    out.write.mode("overwrite").parquet(dest)
+    print(f"lineitem: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+    for t in (
+        "region nation customer supplier part orders events documents embeddings".split()
+    ):
+        link = f"{SF10_OUT}/{t}.parquet"
+        if not os.path.lexists(link):
+            os.symlink(f"../sf1/{t}.parquet", link)
+
+
 if __name__ == "__main__":
     if "--fresh-vocab" in sys.argv:
         fresh_vocab()
+    elif "--sf10" in sys.argv:
+        sf10_lineitem()
     else:
         main()
