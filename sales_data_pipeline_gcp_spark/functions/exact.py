@@ -48,13 +48,15 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
    ratchet set was empirically parity-tested at sf1; results committed in
    PARITY_SF1.json "legacy_direct_cast" — 36/37 hash-green, one
    divergent):
-   - timeseries.py q_bollinger_bands — MEASURED DIVERGENT at sf1
-     (6/2399 rows, last 2-3 digits of sd/upper/lower): the 7-day window
-     sums of squared daily cents reach ~6e22 (far past 2^53; DuckDB's
-     int128->double upper/lower composition vs Spark's BigDecimal differ
-     by 1 ulp) and the sum-of-squares cancellation (sxx - sx^2/n)
-     amplifies the ulp into the visible digits. FIRST in the round-9
-     migration order. Note: the q_agg_stats in-oracle comment claiming
+   - distribution.py q_bollinger_bands — MEASURED DIVERGENT (6/2399
+     rows at sf1 and 23/2399 at sf0.1, last 2-3 digits of sd/bands): the
+     7-day window sums of squared daily cents reach ~6e20 at sf0.1
+     already (far past 2^53; DuckDB's int128->double upper/lower
+     composition vs Spark's conversion differ by 1 ulp) and the
+     sum-of-squares cancellation (sxx - sx^2/n) amplifies the ulp into
+     the visible digits. MIGRATED IN ROUND 8 (string-routed, window slot
+     taken from q_graph_khop's re-queue after the sf0.1 round gate
+     failed; hash-green at sf0.01/sf0.1/sf1 post-fix). Note: the q_agg_stats in-oracle comment claiming
      scale-0 decimal->double is "a SINGLE rounding in both engines even
      beyond 2^53" is now known WRONG in general (q_agg_stats happens to
      agree at sf1's values; bollinger does not) — the comment lives

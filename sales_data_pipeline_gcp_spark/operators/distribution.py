@@ -279,9 +279,9 @@ BOLL_K = 2.0
     ), rolled AS (
         SELECT d, rev_c,
                COUNT(*) OVER w                                   AS n_w,
-               CAST(SUM(rev_c) OVER w AS DOUBLE)                 AS sx,
-               CAST(SUM(CAST(rev_c AS DECIMAL(38,0))
-                        * CAST(rev_c AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sxx
+               CAST(CAST(SUM(rev_c) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(rev_c AS DECIMAL(38,0))
+                        * CAST(rev_c AS DECIMAL(38,0))) OVER w AS VARCHAR) AS DOUBLE) AS sxx
         FROM daily
         WINDOW w AS (ORDER BY d ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
     )
@@ -302,9 +302,15 @@ BOLL_K = 2.0
     "(+1 above the upper band, -1 below the lower) — the volatility-"
     "normalized anomaly monitor for a revenue time series. The rolling "
     "sums accumulate integer cents and scale-0 decimal cents-squared "
-    "(exact, order-free; scale-0 decimal->double is a single rounding in "
-    "both engines), variance comes from the sum-of-squares formula in "
-    "identical IEEE ops, and sqrt is IEEE-exact. Warm-up rows with fewer "
+    "(exact, order-free) and convert to double THROUGH A STRING on both "
+    "engines: the squared-cents window sum reaches ~6e20 at sf0.1 (far "
+    "past 2^53), where DuckDB's int128->double composition and Spark's "
+    "conversion differ by 1 ulp that the sum-of-squares cancellation "
+    "amplifies into the sd/band digits — measured 23/2399 divergent rows "
+    "at sf0.1 and 6/2399 at sf1 with the old direct cast (round-8 sf1 "
+    "parity sweep; see functions/exact.py). Variance comes from the "
+    "sum-of-squares formula in identical IEEE ops, sqrt is IEEE-exact. "
+    "Warm-up rows with fewer "
     f"than {BOLL_WINDOW} periods are excluded structurally rather than "
     "emitting degenerate bands. At 100 TB: the scan collapses map-side "
     "to one row per day (~thousands of rows regardless of fact size), so "
@@ -322,8 +328,8 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "rev_c",
         F.count("*").over(w).alias("n_w"),
-        F.sum("rev_c").over(w).cast("double").alias("sx"),
-        F.sum(dec(F.col("rev_c"), 0) * dec(F.col("rev_c"), 0)).over(w).cast("double").alias("sxx"),
+        F.sum("rev_c").over(w).cast("string").cast("double").alias("sx"),
+        F.sum(dec(F.col("rev_c"), 0) * dec(F.col("rev_c"), 0)).over(w).cast("string").cast("double").alias("sxx"),
     )
     nw = F.lit(float(BOLL_WINDOW))
     sx, sxx = F.col("sx"), F.col("sxx")

@@ -185,8 +185,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_inverted_index",
     "q_bm25",
     "q_seq_pack",
-    # implementation touched in round 8 (bitmap 2-hop rewrite)
-    "q_graph_khop",
+    # oracle rewritten late in round 8: q_bollinger_bands FAILED the
+    # round-gate sf0.1 parity (23/2399 rows — squared-cents window sums
+    # ~6e20, past 2^53, cancellation-amplified; found by the round-8
+    # legacy direct-cast sf1 sweep) and was string-routed immediately. A
+    # measured cross-engine divergence at the gate SF outranks
+    # q_graph_khop's touched-implementation re-queue (same oracle, new
+    # plan, already pinned by local parity at sf0.01 AND sf0.1 every
+    # run) — khop's driver row moves to the round-9 head.
+    "q_bollinger_bands",
     # oracle rewritten in round 8 (string-routed decimal->double): the 6
     # high-magnitude migrations plus the 3 r4-vintage refreshers whose
     # oracles also changed (q_agg_cube/q_join_inner/q_join_star keep
@@ -211,18 +218,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #:      q_sort_multi, q_set_intersect_except, q_window_topk_per_group,
 #:      q_date_scalars). At the r9 commit they are age 5 — the staleness
 #:      lint's limit — so ALL of them must hold r9 slots.
-#:   6  oracle migrations from the functions/exact.py round-9 ledger, in
-#:      MEASURED risk order (the whole 39-query DIRECT_CAST_LEGACY set
-#:      was sf1-parity-tested end of round 8; PARITY_SF1.json
-#:      "legacy_direct_cast"): q_bollinger_bands FIRST — the one
-#:      measured-divergent query (6/2399 rows at sf1: squared-cents
-#:      window sums ~6e22 past 2^53, cancellation-amplified) — then
-#:      q_chisq_independence (scale-12 contrib sum ~1e16, past the
-#:      boundary but measured green), then 4 of the 9 sql_sum_direct
-#:      shim sites. Each migration commit flips the call site to the
-#:      string-routed sql_sum, refreshes ORACLE_HASHES.json, and removes
-#:      the name from the DIRECT_CAST_LEGACY ratchet
-#:      (tests/test_plan_lint.py).
+#:   1  q_graph_khop — its round-8 touched-implementation slot was ceded
+#:      to the q_bollinger_bands emergency migration (the bitmap-rewrite
+#:      plan is pinned by local parity at sf0.01 and sf0.1 every run);
+#:      it heads the round-9 window for its driver row.
+#:   5  oracle migrations from the functions/exact.py ledger, in
+#:      MEASURED risk order (the whole DIRECT_CAST_LEGACY set was
+#:      sf1-parity-tested end of round 8; PARITY_SF1.json
+#:      "legacy_direct_cast"; the one measured-divergent query,
+#:      q_bollinger_bands, was migrated IN round 8 after it also failed
+#:      the round-gate sf0.1 parity): q_chisq_independence first
+#:      (scale-12 contrib sum ~1e16, past the boundary but measured
+#:      green), then 4 of the 9 sql_sum_direct shim sites. Each
+#:      migration commit flips the call site to the string-routed
+#:      sql_sum, refreshes ORACLE_HASHES.json, and removes the name from
+#:      the DIRECT_CAST_LEGACY ratchet (tests/test_plan_lint.py).
 #:  The remaining 5 shim sites (all >=2 orders under the boundary at
 #:  sf1, measured green) migrate in round 10 with slots; zero registry
 #:  additions unless the judge directs otherwise (budget allows <=10).

@@ -277,7 +277,7 @@ def test_coverage_count_in_sync():
 #: hash-green in PARITY_SF1.json as the tripwire.
 DIRECT_CAST_LEGACY = {
     "q_agg_grouping_sets", "q_agg_rollup", "q_agg_salted", "q_agg_stats",
-    "q_attribution", "q_bollinger_bands", "q_chisq_independence",
+    "q_attribution", "q_chisq_independence",
     "q_cohort_ltv", "q_decayed_avg", "q_event_rates", "q_join_bucketed",
     "q_join_dpp", "q_join_full", "q_join_outer", "q_join_right",
     "q_join_salted", "q_kmeans_iter", "q_null_semantics",
