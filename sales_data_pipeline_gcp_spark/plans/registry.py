@@ -108,6 +108,114 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- round-9 rotation: executed exactly as the round-8 plan wrote it
+    # (the ROUND-9 ROTATION PLAN block archived below with
+    # _ROUND8_WINDOW_HISTORY, and round-8 VERDICT items 1-3), with the one
+    # slot of discretionary slack spent on q_ols_regression (same
+    # past-2^53 scale-0 moment class as q_agg_stats — the exact.py ledger
+    # names both). Slot accounting, 50/50, ZERO additions:
+    #   1  q_graph_khop at the HEAD — its round-8 touched-implementation
+    #      re-queue (bitmap 2-hop rewrite, components.py) ceded its slot
+    #      to the q_bollinger_bands emergency migration; the new plan is
+    #      pinned by local parity at sf0.01/sf0.1 every run but has never
+    #      carried a driver row.
+    #  42  the ENTIRE round-4-vintage oracled refresh backlog in
+    #      registration order (computed from the committed
+    #      CORRECTNESS_r01-r08 union: latest adjudication == round 4) —
+    #      the 36 originally planned plus the 6 displaced by round 8's
+    #      oracle-rewrite requeue. At the round-10 commit an unrefreshed
+    #      r4 row would be age 6 > K=5 and
+    #      tests/test_plan_lint.py::test_adjudication_freshness fails the
+    #      suite; after this window goes green no oracled query's latest
+    #      adjudication is older than round 5. NINE of these also carry
+    #      DIRECT_CAST_LEGACY oracles (q_stream_session,
+    #      q_rollup_hierarchy, q_join_full, q_window_share, q_sessionize,
+    #      q_event_rates, q_outlier_zscore, q_sql_revenue_by_nation,
+    #      q_sql_segment_leaders) — their string-route migrations ride
+    #      these refresh slots for free (the rewrite-requeue lint needs a
+    #      slot, not a SECOND slot).
+    #   7  oracle migrations from the functions/exact.py ledger, slotted,
+    #      in measured risk order: the three luck-class past-2^53 sites
+    #      first — q_chisq_independence (scale-12 contrib sum ~1e16
+    #      scaled), q_agg_stats + q_ols_regression (scale-0 moment sums
+    #      ~4.5e16 at sf1; the self-described tripwire — measured green by
+    #      int->double agreement, not guaranteed) — then 4 of the 9
+    #      sql_sum_direct shim sites (q_agg_rollup, q_agg_grouping_sets,
+    #      q_agg_salted, q_join_salted). With the two shim sites riding
+    #      refresh slots above, 3 shim sites remain (q_join_outer,
+    #      q_join_right, q_tpch_q3_shipping — all r7-fresh, all >=2
+    #      orders under the boundary) for round 10.
+    "q_graph_khop",
+    # round-4-vintage refresh backlog (all of it), registration order
+    "q_join_range",
+    "q_window_rank",
+    "q_sort_multi",
+    "q_set_intersect_except",
+    "q_window_topk_per_group",
+    "q_date_scalars",
+    "q_filter_nulls",
+    "q_case_impute",
+    "q_project_cast",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_dedup_incremental",
+    "q_dedup_cdc_chunks",
+    "q_sim_topk",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_tfidf",
+    "q_text_familiarity",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_rollup_hierarchy",
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q_join_full",
+    "q_agg_listagg",
+    "q_agg_mode",
+    "q_window_share",
+    "q_funnel",
+    "q_sessionize",
+    "q_event_rates",
+    "q_events_retention",
+    "q_corpus_prepare",
+    "q_tpch_q12_priority_class",
+    "q_tpch_q20_promotion_suppliers",
+    "q_tpch_q2_min_cost_supplier",
+    "q_dedup_clusters",
+    "q_outlier_zscore",
+    "q_sql_revenue_by_nation",
+    "q_sql_segment_leaders",
+    "q_sql_top_orders_per_segment",
+    "q_sql_doc_source_profile",
+    # slotted exact.py migrations: luck-class past-2^53 direct casts first,
+    # then the four shim sites the round-8 plan named
+    "q_chisq_independence",
+    "q_agg_stats",
+    "q_ols_regression",
+    "q_agg_rollup",
+    "q_agg_grouping_sets",
+    "q_agg_salted",
+    "q_join_salted",
+)
+
+
+#: ROUND-10 ROTATION PLAN (written at the round-9 commit, assuming the r9
+#: window goes green; slot accounting 49/50, one discretionary slot):
+#:  46  the round-5-vintage refresh backlog in registration order — 49
+#:      queries sit at r5 today, minus q_graph_khop / q_chisq_independence
+#:      / q_ols_regression which hold r9 slots above. At the round-11
+#:      commit an unrefreshed r5 row is age 6 > K=5.
+#:   3  the last sql_sum_direct shim migrations (q_join_outer,
+#:      q_join_right, q_tpch_q3_shipping), after which the shim is DELETED
+#:      from functions/exact.py and the ratchet shrinks to the inline
+#:      legacy set only.
+#:   1  spare — reserve for any round-9 emergency (the bollinger
+#:      precedent) or a touched-implementation re-queue.
+
+
+_ROUND8_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-8 rotation: the backlog-tail round, executed exactly as
     # the round-7 verdict planned it (VERDICT item 1). Slot accounting,
     # 50/50, ZERO additions this round (the registry is complete at 237;
@@ -210,32 +318,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
-#: ROUND-9 ROTATION PLAN (written at the end of round 8, assuming the r8
-#: window goes green; execute exactly as planned, slot accounting 50/50):
-#:  44  the full round-4-vintage refresh backlog, registration order —
-#:      the 38 originally planned for r8's tail plus the 6 displaced by
-#:      the oracle-rewrite requeue (q_join_range, q_window_rank,
-#:      q_sort_multi, q_set_intersect_except, q_window_topk_per_group,
-#:      q_date_scalars). At the r9 commit they are age 5 — the staleness
-#:      lint's limit — so ALL of them must hold r9 slots.
-#:   1  q_graph_khop — its round-8 touched-implementation slot was ceded
-#:      to the q_bollinger_bands emergency migration (the bitmap-rewrite
-#:      plan is pinned by local parity at sf0.01 and sf0.1 every run);
-#:      it heads the round-9 window for its driver row.
-#:   5  oracle migrations from the functions/exact.py ledger, in
-#:      MEASURED risk order (the whole DIRECT_CAST_LEGACY set was
-#:      sf1-parity-tested end of round 8; PARITY_SF1.json
-#:      "legacy_direct_cast"; the one measured-divergent query,
-#:      q_bollinger_bands, was migrated IN round 8 after it also failed
-#:      the round-gate sf0.1 parity): q_chisq_independence first
-#:      (scale-12 contrib sum ~1e16, past the boundary but measured
-#:      green), then 4 of the 9 sql_sum_direct shim sites. Each
-#:      migration commit flips the call site to the string-routed
-#:      sql_sum, refreshes ORACLE_HASHES.json, and removes the name from
-#:      the DIRECT_CAST_LEGACY ratchet (tests/test_plan_lint.py).
-#:  The remaining 5 shim sites (all >=2 orders under the boundary at
-#:  sf1, measured green) migrate in round 10 with slots; zero registry
-#:  additions unless the judge directs otherwise (budget allows <=10).
 _ROUND7_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-7 rotation: the freshness round, executed exactly as the
     # round-6 verdict planned it (VERDICT item 4) with the window budgeted
