@@ -26,6 +26,8 @@ volume scales the way a real corpus's would.
 Usage:
     python parity_sf1.py            # full set -> PARITY_SF1.json
     python parity_sf1.py q_a q_b    # subset (still merges into the record)
+    python parity_sf1.py --sf10 [q_a ...]   # third-decade spot check,
+        SF10_WHITELIST only (see below) -> "sf10_decimal_exact" section
 Env: PARITY_SF1_TIMEOUT (sec/query, default 1800).
 """
 
@@ -67,10 +69,14 @@ QUERIES: tuple[str, ...] = (
     "q_agg_group",
     "q_price_index",
     # scale-0 cents-unit moment sums (sxy ~4.5e16 scaled at sf1 — past
-    # the 2^53 direct-cast boundary; measured hash-green, see the
-    # functions/exact.py migration ledger)
+    # the 2^53 direct-cast boundary; string-routed in round 9, kept here
+    # as the regression check — see the functions/exact.py ledger)
     "q_agg_stats",
     "q_ols_regression",
+    # scale-12 contrib sum ~1e16 scaled at sf1 — string-routed in round 9
+    # (the first scale-12 string route; exactness argued in
+    # functions/exact.py, verified here)
+    "q_chisq_independence",
 )
 
 #: df-sensitive families re-run on the fresh-vocabulary variant (realistic
@@ -80,6 +86,24 @@ FV_QUERIES: tuple[str, ...] = (
     "q_graph_triangles",
     "q_graph_triangles_lsh",
     "q_dedup_minhash",
+)
+
+SF10_DIR = os.path.join(HERE, ".scale", "sf10")
+
+#: .scale/sf10 replicates ONLY lineitem (10 key-shifted sf1 replicas);
+#: every other table is a symlink to ../sf1, so any query joining lineitem
+#: to a dimension silently inner-join-drops ~90% of the shifted keys. The
+#: harness therefore REFUSES to run a non-whitelisted query against sf10
+#: (round-8 ADVICE): the whitelist is the lineitem-only aggregation class
+#: (including q_join_salted, whose dim is derived FROM lineitem).
+SF10_WHITELIST: tuple[str, ...] = (
+    "q_agg_group",
+    "q_agg_stats",
+    "q_tpch_q1_pricing",
+    "q_agg_rollup",
+    "q_agg_grouping_sets",
+    "q_agg_salted",
+    "q_join_salted",
 )
 
 
@@ -141,16 +165,27 @@ def _worker(name: str, sf_dir: str) -> None:
     print("RESULT|" + json.dumps(rec), flush=True)
 
 
-def main(only: list[str]) -> None:
+def main(only: list[str], sf10: bool = False) -> None:
     timeout = int(os.environ.get("PARITY_SF1_TIMEOUT", "1800"))
-    jobs = [(n, SF1_DIR) for n in QUERIES] + [(n, SF1FV_DIR) for n in FV_QUERIES]
-    jobs = [(n, d) for n, d in jobs if (not only or n in only) and os.path.isdir(d)]
     record: dict = {}
     if os.path.exists(OUT):
         record = json.load(open(OUT))
-    results = record.setdefault("queries", {})
+    if sf10:
+        bad = sorted(set(only) - set(SF10_WHITELIST))
+        if bad:
+            raise SystemExit(
+                f"refusing to run {bad} against .scale/sf10: only lineitem "
+                f"is replicated there (joins to sf1-symlinked dims drop ~90% "
+                f"of shifted keys); whitelisted: {sorted(SF10_WHITELIST)}"
+            )
+        jobs = [(n, SF10_DIR) for n in SF10_WHITELIST if (not only or n in only)]
+        results = record.setdefault("sf10_decimal_exact", {}).setdefault("queries", {})
+    else:
+        jobs = [(n, SF1_DIR) for n in QUERIES] + [(n, SF1FV_DIR) for n in FV_QUERIES]
+        jobs = [(n, d) for n, d in jobs if (not only or n in only) and os.path.isdir(d)]
+        results = record.setdefault("queries", {})
     for name, sf_dir in jobs:
-        key = name if sf_dir == SF1_DIR else f"{name}@fv"
+        key = f"{name}@fv" if sf_dir == SF1FV_DIR else name
         print(f"--- {key}", flush=True)
         t0 = time.perf_counter()
         try:
@@ -195,4 +230,5 @@ if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         _worker(sys.argv[2], sys.argv[3])
     else:
-        main(sys.argv[1:])
+        argv = sys.argv[1:]
+        main([a for a in argv if a != "--sf10"], sf10="--sf10" in argv)

@@ -22,14 +22,18 @@ that, DuckDB's int128->double pre-rounding before the 10^s division can
 differ from Spark's correctly-rounded BigDecimal conversion by 1 ulp —
 round-8 sf1 parity caught exactly this on q_agg_group's sum_charge
 (sum ~2.8e10 at scale 6 -> scaled integer 2.8e16 > 2^53; Spark
-...941590 -> 0x...430, DuckDB -> 0x...431). Decimal->string is EXACT and
-format-identical in both engines for scale <= 6 (plain notation, full
-trailing zeros; Java BigDecimal.toString goes scientific only below 1e-7),
-and string->double is correctly rounded in both (Double.parseDouble /
-fast_float), so the string route yields bit-identical doubles at ANY
-magnitude — measured identical on the 2.8e16-scaled sf1 sums. Keep scales
-<= 6 (the string-format-identical range) and SMALL enough to exactly
-represent per-row values; the sum's magnitude no longer matters.
+...941590 -> 0x...430, DuckDB -> 0x...431). The string route is exact at
+ANY magnitude and ANY scale: each engine's decimal->string is an EXACT
+representation of the (cross-engine-identical) decimal sum — Spark via
+BigDecimal.toString (plain notation for scale <= 6 values >= 1e-7,
+scientific below; both exact), DuckDB always plain — and each engine's
+string->double is correctly rounded (Double.parseDouble / fast_float).
+The two strings need not be format-identical across engines; they each
+denote the same exact value, so the correctly-rounded doubles are
+bit-identical. Measured identical on the 2.8e16-scaled sf1 sums (scale 6)
+and the round-9 chi-square migration (scale 12). Pick the scale SMALL
+enough that per-row values quantize unambiguously; the sum's magnitude
+and the string's notation no longer matter.
 
 This only converts the few FINAL per-group values (post-aggregation), so
 the string round-trip costs nothing in the hot path.
@@ -64,19 +68,21 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
      commit that re-queues the query.
    - stats.py scale-0 cents-unit moment sums (q_agg_stats,
      q_ols_regression): sxy/sxx/syy reach ~4.5e16 scaled at sf1 — past
-     the boundary, BUT measured hash-green at sf1 (PARITY_SF1.json):
-     with scale 0 there is no post-conversion 10^s division, and both
-     engines' int->double paths agreed on these values. Green is
-     measured, not guaranteed (DuckDB's int128->double composes
-     upper/lower doubles, not a certified single rounding) — migrate
-     opportunistically in round 9, keep the family in the sf1 parity
-     set as the tripwire.
-   - stats.py:400 chi2 (scale 12): contrib sum ~1e4 x 1e12 = 1e16 —
-     past the boundary at sf1; same scale-s division class as
-     sum_charge. Migrate in round 9 with a slot.
+     the boundary, previously green only by measured int->double
+     agreement. MIGRATED IN ROUND 9 (string-routed both sides with
+     window slots); the family stays in the sf1 parity set as a
+     regression check.
+   - stats.py chi2 (scale 12): contrib sum ~1e4 x 1e12 = 1e16 — past
+     the boundary at sf1; same scale-s division class as sum_charge.
+     MIGRATED IN ROUND 9 (string-routed; first scale-12 string route —
+     exactness per the any-scale argument above, verified at
+     sf0.01/sf0.1/sf1).
    - components.py:261 pagerank contribution sums (scale 12): per-node
      in-degree-bounded (~1e14) — SAFE, and empirically hash-green at sf1
      (PARITY_SF1.json); no action needed.
+   - relational2.py q_window_range (scale 2, inline-OVER range frames —
+     surfaced by the round-9 ratchet-regex widening): per-customer
+     cumulative sums, magnitude-safe; migrates on round 10's spare slot.
 3. ``spark.sql``-surface queries (sql_surface.py) execute ONE dialect-
    neutral text on both engines, so a single edit migrates both sides:
    q_sql_revenue_by_nation (scale 4, ~3.5e14 at sf1 — 1.4 orders of
@@ -113,7 +119,8 @@ def exact_sum(col: Column | str, scale: int = 6) -> Column:
 def exact_avg(col: Column | str, scale: int = 6) -> Column:
     """Order-independent AVG as exact-decimal-sum / count (double division).
 
-    SQL oracle: ``CAST(SUM(CAST(x AS DECIMAL(38,s))) AS DOUBLE) / COUNT(x)``.
+    SQL oracle (string-routed, matching ``sql_avg``):
+    ``CAST(CAST(SUM(CAST(x AS DECIMAL(38,s))) AS VARCHAR) AS DOUBLE) / COUNT(x)``.
     """
     c = F.col(col) if isinstance(col, str) else col
     return exact_sum(c, scale) / F.count(c)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.functions.exact import dec
+from sales_data_pipeline_gcp_spark.functions.exact import dec, exact_sum, sql_sum
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -25,21 +25,22 @@ PRICE_MIN, PRICE_MAX = 0.0, 600000.0
 
 @register(
     "q_agg_stats",
-    oracle="""
+    oracle=f"""
     WITH sums AS (
-        -- integer-unit (cents) scale-0 accumulation: the decimal->double
-        -- conversion of a scale-0 value is a SINGLE rounding in both
-        -- engines even beyond 2^53, unlike scaled decimals whose
-        -- int->double-then-divide path can differ by 1 ulp (see
-        -- functions/exact.py scale-selection rule); the /10^k rescales
-        -- then happen in identical IEEE double arithmetic
+        -- integer-unit (cents) scale-0 accumulation, STRING-ROUTED final
+        -- decimal->double conversion (functions/exact.py): the moment sums
+        -- reach ~4.5e16 at sf1 — past 2^53, where a direct int128->double
+        -- cast is only cross-engine-identical by luck (round-8 parity
+        -- measured agreement; bollinger proved the same class CAN diverge
+        -- by 1 ulp). The string route is exact at any magnitude; the /10^k
+        -- rescales then happen in identical IEEE double arithmetic
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sx,
-               CAST(SUM(CAST((l_quantity * 100) * (l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxx,
-               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sy,
-               CAST(SUM(CAST((l_extendedprice * 100) * (l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS syy,
-               CAST(SUM(CAST((l_quantity * 100) * (l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxy
+               {sql_sum('l_quantity * 100', 0)} / 1e2 AS sx,
+               {sql_sum('(l_quantity * 100) * (l_quantity * 100)', 0)} / 1e4 AS sxx,
+               {sql_sum('l_extendedprice * 100', 0)} / 1e2 AS sy,
+               {sql_sum('(l_extendedprice * 100) * (l_extendedprice * 100)', 0)} / 1e4 AS syy,
+               {sql_sum('(l_quantity * 100) * (l_extendedprice * 100)', 0)} / 1e4 AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -62,11 +63,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_c = F.col("l_extendedprice") * 100
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        (F.sum(dec(qty_c, 0)).cast("double") / 1e2).alias("sx"),
-        (F.sum(dec(qty_c * qty_c, 0)).cast("double") / 1e4).alias("sxx"),
-        (F.sum(dec(price_c, 0)).cast("double") / 1e2).alias("sy"),
-        (F.sum(dec(price_c * price_c, 0)).cast("double") / 1e4).alias("syy"),
-        (F.sum(dec(qty_c * price_c, 0)).cast("double") / 1e4).alias("sxy"),
+        (exact_sum(qty_c, 0) / 1e2).alias("sx"),
+        (exact_sum(qty_c * qty_c, 0) / 1e4).alias("sxx"),
+        (exact_sum(price_c, 0) / 1e2).alias("sy"),
+        (exact_sum(price_c * price_c, 0) / 1e4).alias("syy"),
+        (exact_sum(qty_c * price_c, 0) / 1e4).alias("sxy"),
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
     var_qty = (sxx - sx * sx / n) / (n - 1)
@@ -250,15 +251,17 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ols_regression",
-    oracle="""
+    oracle=f"""
     WITH sums AS (
+        -- string-routed final conversion (functions/exact.py): the moment
+        -- sums share q_agg_stats' past-2^53 scale-0 class at sf1
         SELECT p.p_brand,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l.l_quantity * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sx,
-               CAST(SUM(CAST((l.l_quantity * 100) * (l.l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxx,
-               CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sy,
-               CAST(SUM(CAST((l.l_extendedprice * 100) * (l.l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS syy,
-               CAST(SUM(CAST((l.l_quantity * 100) * (l.l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxy
+               {sql_sum('l.l_quantity * 100', 0)} / 1e2 AS sx,
+               {sql_sum('(l.l_quantity * 100) * (l.l_quantity * 100)', 0)} / 1e4 AS sxx,
+               {sql_sum('l.l_extendedprice * 100', 0)} / 1e2 AS sy,
+               {sql_sum('(l.l_extendedprice * 100) * (l.l_extendedprice * 100)', 0)} / 1e4 AS syy,
+               {sql_sum('(l.l_quantity * 100) * (l.l_extendedprice * 100)', 0)} / 1e4 AS sxy
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     )
@@ -290,11 +293,11 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(dec(qty_c, 0)).cast("double") / 1e2).alias("sx"),
-            (F.sum(dec(qty_c * qty_c, 0)).cast("double") / 1e4).alias("sxx"),
-            (F.sum(dec(price_c, 0)).cast("double") / 1e2).alias("sy"),
-            (F.sum(dec(price_c * price_c, 0)).cast("double") / 1e4).alias("syy"),
-            (F.sum(dec(qty_c * price_c, 0)).cast("double") / 1e4).alias("sxy"),
+            (exact_sum(qty_c, 0) / 1e2).alias("sx"),
+            (exact_sum(qty_c * qty_c, 0) / 1e4).alias("sxx"),
+            (exact_sum(price_c, 0) / 1e2).alias("sy"),
+            (exact_sum(price_c * price_c, 0) / 1e4).alias("syy"),
+            (exact_sum(qty_c * price_c, 0) / 1e4).alias("sxy"),
         )
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
@@ -397,7 +400,10 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grid
     )
     SELECT seg, pri, o AS observed, expected, contrib,
-           CAST(SUM(CAST(contrib AS DECIMAL(38,12))) OVER () AS DOUBLE) AS chi2
+           -- string-routed final conversion (functions/exact.py): the
+           -- scale-12 contrib sum scales to ~1e16 at sf1 — past 2^53,
+           -- where the direct cast agreed only by luck
+           CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) OVER () AS VARCHAR) AS DOUBLE) AS chi2
     FROM cells
     """,
     doc="Chi-square test of independence (market segment x order "
@@ -454,6 +460,7 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib",
         F.sum(F.col("contrib").cast("decimal(38,12)"))
         .over(W.partitionBy())
+        .cast("string")
         .cast("double")
         .alias("chi2"),
     )

@@ -211,8 +211,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #:      q_join_right, q_tpch_q3_shipping), after which the shim is DELETED
 #:      from functions/exact.py and the ratchet shrinks to the inline
 #:      legacy set only.
-#:   1  spare — reserve for any round-9 emergency (the bollinger
-#:      precedent) or a touched-implementation re-queue.
+#:   1  spare — first claim: q_window_range's string-route migration
+#:      (the round-9 ratchet-regex widening surfaced its inline-OVER
+#:      direct cast; magnitude-safe, so it waits for the slot rather
+#:      than displacing a refresher). An emergency (the bollinger
+#:      precedent) or touched-implementation re-queue outranks it.
 
 
 _ROUND8_WINDOW_HISTORY: tuple[str, ...] = (

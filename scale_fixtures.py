@@ -225,6 +225,15 @@ def sf10_lineitem() -> None:
         link = f"{SF10_OUT}/{t}.parquet"
         if not os.path.lexists(link):
             os.symlink(f"../sf1/{t}.parquet", link)
+    with open(f"{SF10_OUT}/README.md", "w") as f:
+        f.write(
+            "ONLY lineitem is replicated at sf10; every other table is a\n"
+            "symlink to ../sf1 with UNSHIFTED keys, so any query joining\n"
+            "lineitem to a dimension silently inner-join-drops ~90% of the\n"
+            "shifted lineitem rows. Valid ONLY for the lineitem-only\n"
+            "aggregation class — parity_sf1.py --sf10 enforces the\n"
+            "whitelist (SF10_WHITELIST).\n"
+        )
 
 
 if __name__ == "__main__":

@@ -276,17 +276,23 @@ def test_coverage_count_in_sync():
 #: (q_agg_stats / q_ols_regression, ~4.5e16 scaled at sf1) is pinned
 #: hash-green in PARITY_SF1.json as the tripwire.
 DIRECT_CAST_LEGACY = {
-    "q_agg_grouping_sets", "q_agg_rollup", "q_agg_salted", "q_agg_stats",
-    "q_attribution", "q_chisq_independence",
+    "q_agg_grouping_sets", "q_agg_rollup", "q_agg_salted",
+    "q_attribution",
     "q_cohort_ltv", "q_decayed_avg", "q_event_rates", "q_join_bucketed",
     "q_join_dpp", "q_join_full", "q_join_outer", "q_join_right",
     "q_join_salted", "q_kmeans_iter", "q_null_semantics",
-    "q_ols_regression", "q_outlier_zscore", "q_rollup_hierarchy",
+    "q_outlier_zscore", "q_rollup_hierarchy",
     "q_scan_evolved", "q_scan_orc", "q_scan_pruned", "q_sessionize",
     "q_sql_revenue_by_nation", "q_sql_segment_leaders", "q_stream_session",
     "q_stream_tumbling", "q_subquery_scalar", "q_time_weighted_avg",
     "q_timeseries_gapfill", "q_timeseries_interpolate",
-    "q_tpch_q3_shipping", "q_window_frame", "q_window_rolling_days",
+    "q_tpch_q3_shipping", "q_window_frame",
+    # surfaced by the round-9 regex widening (inline OVER specs were
+    # previously invisible to the ban): per-customer range-frame sums,
+    # magnitude-safe (a single customer's scaled order total << 2^53);
+    # migrates on round 10's spare slot
+    "q_window_range",
+    "q_window_rolling_days",
     "q_window_share", "q_winsorized_mean", "q_wow_growth",
 }
 
@@ -295,8 +301,12 @@ def test_direct_decimal_cast_is_a_closed_set():
     """No new oracle may use the direct decimal-sum->double cast; the
     legacy set only shrinks as migrations land (ratchet)."""
     pat = re.compile(
+        # the OVER group matches empty/inline parenthesized specs (no
+        # nested parens occur in window specs here) and named windows, so
+        # an inline `OVER (PARTITION BY k ORDER BY d)` direct cast cannot
+        # evade the ban (round-8 ADVICE)
         r"CAST\(\s*SUM\(CAST\(.*?AS\s+DECIMAL\(38,\s*\d+\)\)(?:\s*\*\s*\w+)?\)\s*"
-        r"(?:OVER\s*(?:\(\s*\)|\w+)\s*)?AS\s+DOUBLE\)",
+        r"(?:OVER\s*(?:\([^)]*\)|\w+)\s*)?AS\s+DOUBLE\)",
         re.S,
     )
     current = {n for n, q in ALL.items() if q.oracle and pat.search(q.oracle)}
