@@ -42,11 +42,12 @@ ROUND-9 MIGRATION LEDGER — direct-cast sites still outstanding (each
 needs a DRIVER_WINDOW slot when its oracle text changes; magnitudes
 audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
 
-1. The 9 ``sql_sum_direct`` shim sites (this module): q_agg_rollup,
-   q_agg_grouping_sets, q_agg_salted, q_join_salted, q_join_outer,
-   q_join_right, q_join_full, q_window_share, q_tpch_q3_shipping.
-   All <= ~3.5e12 scaled at sf1 (safe); migrate for uniformity and
-   delete the shims.
+1. The ``sql_sum_direct`` shim sites (this module): 6 of 9 MIGRATED IN
+   ROUND 9 (q_agg_rollup, q_agg_grouping_sets, q_agg_salted,
+   q_join_salted on slots; q_join_full, q_window_share riding their
+   refresh slots). Remaining 3 — q_join_outer, q_join_right,
+   q_tpch_q3_shipping — all <= ~3.5e12 scaled at sf1 (safe); migrate
+   with round-10 slots and DELETE the shims.
 2. Inline ``CAST(SUM(CAST(.. AS DECIMAL)) AS DOUBLE)`` with sf1-scale
    headroom < 2 orders — priority (the WHOLE 39-query DIRECT_CAST_LEGACY
    ratchet set was empirically parity-tested at sf1; results committed in
@@ -142,14 +143,13 @@ def sql_sum_direct(expr: str, scale: int = 6) -> str:
 
     The string-routed ``sql_sum`` is the canonical semantics, but an oracle
     rewrite must hold a DRIVER_WINDOW adjudication slot in the same commit
-    (tests/test_plan_lint.py::test_oracle_rewrite_requeues_adjudication)
-    and round 8's 50 slots are fully claimed by the rotation backlog plus
-    the 19 high-magnitude migrations. The 9 remaining call sites keep this
-    byte-identical pre-round-8 oracle text for one round; each is safe at
-    sf1 magnitudes (their scaled sums sit >=2 orders below the 2^53
-    direct-cast divergence boundary — per-group sums of bounded groups, or
-    scale <=2 totals <=1e13). Round 9: migrate them to ``sql_sum`` with
-    window slots and delete this shim.
+    (tests/test_plan_lint.py::test_oracle_rewrite_requeues_adjudication).
+    Round 9 migrated 6 of the 9 call sites with slots; the 3 remaining
+    (q_join_outer, q_join_right, q_tpch_q3_shipping) keep this
+    byte-identical pre-round-8 oracle text for one more round — each is
+    safe at sf1 magnitudes (scaled sums >=2 orders below the 2^53
+    direct-cast divergence boundary). Round 10: migrate them with slots
+    and delete this shim.
 
     Spark twins already use the string-routed ``exact_sum`` — in the safe
     range both forms produce the same correctly-rounded double, so mixing

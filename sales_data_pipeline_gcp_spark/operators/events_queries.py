@@ -90,7 +90,7 @@ SESSION_GAP_SEC = 86_400
            COUNT(*)        AS n_events,
            MIN(sec)        AS start_sec,
            MAX(sec)        AS end_sec,
-           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -131,7 +131,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ns(ts) // {NS_PER_SECOND * 86400} AS day_bucket,
            COUNT(*)                                AS n_events,
            COUNT(DISTINCT event_type)              AS n_types,
-           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -107,7 +107,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*)              AS n_items,
-           {sql_sum_direct('l_quantity', 2)} AS sum_qty
+           {sql_sum('l_quantity', 2)} AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,

@@ -17,11 +17,11 @@ from sales_data_pipeline_gcp_spark.plans.registry import register
     oracle=f"""
     WITH c AS (
         SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
-               {sql_sum_direct('c_acctbal', 2)} AS cust_balance
+               {sql_sum('c_acctbal', 2)} AS cust_balance
         FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey
     ), s AS (
         SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
-               {sql_sum_direct('s_acctbal', 2)} AS supp_balance
+               {sql_sum('s_acctbal', 2)} AS supp_balance
         FROM supplier WHERE s_nationkey >= 5 GROUP BY s_nationkey
     )
     SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
@@ -66,7 +66,7 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
            l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           {sql_sum_direct('l_quantity', 2)} AS sum_qty
+           {sql_sum('l_quantity', 2)} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -594,7 +594,7 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_share",
     oracle=f"""
     WITH nat AS (
-        SELECT n_name, {sql_sum_direct('o_totalprice', 2)} AS revenue
+        SELECT n_name, {sql_sum('o_totalprice', 2)} AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN nation ON c_nationkey = n_nationkey

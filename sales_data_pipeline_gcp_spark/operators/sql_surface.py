@@ -30,8 +30,8 @@ from sales_data_pipeline_gcp_spark.plans.registry import register
 _SQL_REVENUE_BY_NATION = """
     SELECT n_name,
            CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
-                AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+                AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -45,7 +45,7 @@ _SQL_REVENUE_BY_NATION = """
 
 _SQL_SEGMENT_LEADERS = """
     SELECT c_mktsegment,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS segment_value,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS STRING) AS DOUBLE) AS segment_value,
            COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
                AS urgent_orders,
            MAX(o_totalprice) AS biggest_order

@@ -119,8 +119,8 @@ Z_THRESHOLD = 3.0
     WITH sums AS (
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS sx,
-               CAST(SUM(CAST((value * 100) * (value * 100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sxx
+               CAST(CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e2 AS sx,
+               CAST(CAST(SUM(CAST((value * 100) * (value * 100) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e4 AS sxx
         FROM events GROUP BY event_type
     ), stats AS (
         SELECT event_type, sx / n AS mean_value,
@@ -146,8 +146,8 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_c = F.col("value") * 100
     sums = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        (F.sum(dec(v_c, 0)).cast("double") / 1e2).alias("sx"),
-        (F.sum(dec(v_c * v_c, 0)).cast("double") / 1e4).alias("sxx"),
+        (exact_sum(v_c, 0) / 1e2).alias("sx"),
+        (exact_sum(v_c * v_c, 0) / 1e4).alias("sxx"),
     )
     n, sx, sxx = (F.col(c) for c in ("n", "sx", "sxx"))
     stats = sums.select(

@@ -96,7 +96,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            MIN(us) // 1000000 AS session_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM s
     GROUP BY user_id, sid
     """,
@@ -184,7 +184,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                        AS bucket_start,
            event_type,
            COUNT(*)                                    AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events CROSS JOIN grains g
     GROUP BY 1, 2, 3
     """,

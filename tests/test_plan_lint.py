@@ -276,14 +276,11 @@ def test_coverage_count_in_sync():
 #: (q_agg_stats / q_ols_regression, ~4.5e16 scaled at sf1) is pinned
 #: hash-green in PARITY_SF1.json as the tripwire.
 DIRECT_CAST_LEGACY = {
-    "q_agg_grouping_sets", "q_agg_rollup", "q_agg_salted",
     "q_attribution",
-    "q_cohort_ltv", "q_decayed_avg", "q_event_rates", "q_join_bucketed",
-    "q_join_dpp", "q_join_full", "q_join_outer", "q_join_right",
-    "q_join_salted", "q_kmeans_iter", "q_null_semantics",
-    "q_outlier_zscore", "q_rollup_hierarchy",
-    "q_scan_evolved", "q_scan_orc", "q_scan_pruned", "q_sessionize",
-    "q_sql_revenue_by_nation", "q_sql_segment_leaders", "q_stream_session",
+    "q_cohort_ltv", "q_decayed_avg", "q_join_bucketed",
+    "q_join_dpp", "q_join_outer", "q_join_right",
+    "q_kmeans_iter", "q_null_semantics",
+    "q_scan_evolved", "q_scan_orc", "q_scan_pruned",
     "q_stream_tumbling", "q_subquery_scalar", "q_time_weighted_avg",
     "q_timeseries_gapfill", "q_timeseries_interpolate",
     "q_tpch_q3_shipping", "q_window_frame",
@@ -293,7 +290,7 @@ DIRECT_CAST_LEGACY = {
     # migrates on round 10's spare slot
     "q_window_range",
     "q_window_rolling_days",
-    "q_window_share", "q_winsorized_mean", "q_wow_growth",
+    "q_winsorized_mean", "q_wow_growth",
 }
 
 
