@@ -200,7 +200,11 @@ def _official_line(queries: dict[str, float], sf: float, extra: dict) -> str:
         "sf": sf,
         "n_queries": len(queries),
         "queries_omitted": len(queries) - len(selected),
-        "full_record": "BENCH_FULL.json",
+        # callers supply full_record: the curated BENCH_FULL.json exists
+        # only on the --merge path; a plain sweep's authoritative record
+        # is its own dated raw file (round-8 ADVICE: the old hardcoded
+        # BENCH_FULL.json pointer could disagree with a stale committed
+        # record)
         **extra,
     }
     line = json.dumps(payload, separators=(",", ":"))
@@ -296,10 +300,11 @@ def main() -> None:
             sort_keys=True,
         )
 
-    print(_official_line(timings, sf, {"raw_record": os.path.relpath(raw_path, here)}))
+    rel_raw = os.path.relpath(raw_path, here)
+    print(_official_line(timings, sf, {"raw_record": rel_raw, "full_record": rel_raw}))
 
 
-def merge(paths: list[str]) -> None:
+def merge(paths: list[str], out_dir: str | None = None) -> None:
     """Merge N back-to-back BENCH_FULL.json records into one by taking the
     per-query MIN of each run's median, for both the sweep and isolated
     columns (the round-6 VERDICT's sanctioned min-of-N-sweeps statistic).
@@ -344,7 +349,7 @@ def merge(paths: list[str]) -> None:
             sec, window, kind = min(candidates)
             isolated[n] = sec
             isolated_window[n] = f"{window}/{kind}"
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = out_dir or os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(
             {
@@ -383,7 +388,7 @@ def merge(paths: list[str]) -> None:
             indent=1,
             sort_keys=True,
         )
-    print(_official_line(queries, base["sf"], {"n_sweeps": n_sweeps}))
+    print(_official_line(queries, base["sf"], {"n_sweeps": n_sweeps, "full_record": "BENCH_FULL.json"}))
 
 
 def isolated_supplement(names: list[str]) -> None:
