@@ -79,6 +79,72 @@ QUERIES: tuple[str, ...] = (
     "q_chisq_independence",
 )
 
+#: Round-9 coverage extension (round-8 VERDICT item 4): the next-largest
+#: aggregate-bearing families — events, timeseries, ML-prep, analytics,
+#: distribution, and the rest of stats. Their aggregates route through the
+#: same functions/exact.py helpers as the proven set, but "inferred" is
+#: not "measured": run once per round until all 231 oracled queries carry
+#: an sf1 row. Includes the round-9 string-route free-riders (sessionize,
+#: event_rates, outlier_zscore, bollinger regression check).
+EXTENSION_QUERIES: tuple[str, ...] = (
+    "q_funnel",
+    "q_sessionize",
+    "q_event_rates",
+    "q_events_retention",
+    "q_outlier_zscore",
+    "q_window_rolling_days",
+    "q_timeseries_gapfill",
+    "q_event_transitions",
+    "q_time_weighted_avg",
+    "q_gaps_islands",
+    "q_cohort_ltv",
+    "q_cumulative_users",
+    "q_event_paths",
+    "q_rolling_distinct_users",
+    "q_funnel_steps",
+    "q_peak_concurrency",
+    "q_histogram",
+    "q_relational_division",
+    "q_dq_profile",
+    "q_outlier_mad",
+    "q_weighted_median",
+    "q_pareto_abc",
+    "q_ab_ttest",
+    "q_winsorized_mean",
+    "q_basket_lift",
+    "q_benford_digits",
+    "q_dq_linenumbers",
+    "q_mannwhitney",
+    "q_dq_referential",
+    "q_decayed_avg",
+    "q_timeseries_interpolate",
+    "q_events_anomaly",
+    "q_rolling_corr",
+    "q_acf",
+    "q_calendarize",
+    "q_capped_runsum",
+    "q_rfm",
+    "q_purchase_intervals",
+    "q_attribution",
+    "q_skyline",
+    "q_xyz_analysis",
+    "q_item_cf",
+    "q_gini_concentration",
+    "q_spearman_corr",
+    "q_ks_test",
+    "q_bollinger_bands",
+    "q_cusum_changepoint",
+    "q_dow_seasonality",
+    "q_mix_effective_sources",
+    "q_label_window",
+    "q_train_test_split",
+    "q_tv_drift",
+    "q_window_median",
+    "q_feature_hash",
+    "q_lift_curve",
+    "q_window_hampel",
+)
+
 #: df-sensitive families re-run on the fresh-vocabulary variant (realistic
 #: Heaps-law decade next to the saturated worst case — VERDICT item 4).
 FV_QUERIES: tuple[str, ...] = (
@@ -181,7 +247,9 @@ def main(only: list[str], sf10: bool = False) -> None:
         jobs = [(n, SF10_DIR) for n in SF10_WHITELIST if (not only or n in only)]
         results = record.setdefault("sf10_decimal_exact", {}).setdefault("queries", {})
     else:
-        jobs = [(n, SF1_DIR) for n in QUERIES] + [(n, SF1FV_DIR) for n in FV_QUERIES]
+        jobs = [(n, SF1_DIR) for n in QUERIES + EXTENSION_QUERIES] + [
+            (n, SF1FV_DIR) for n in FV_QUERIES
+        ]
         jobs = [(n, d) for n, d in jobs if (not only or n in only) and os.path.isdir(d)]
         results = record.setdefault("queries", {})
     for name, sf_dir in jobs:
