@@ -42,10 +42,12 @@ ROUND-9 MIGRATION LEDGER — direct-cast sites still outstanding (each
 needs a DRIVER_WINDOW slot when its oracle text changes; magnitudes
 audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
 
-1. The ``sql_sum_direct`` shim sites (this module): 6 of 9 MIGRATED IN
-   ROUND 9 (q_agg_rollup, q_agg_grouping_sets, q_agg_salted,
-   q_join_salted on slots; q_join_full, q_window_share riding their
-   refresh slots). Remaining 3 — q_join_outer, q_join_right,
+1. The ``sql_sum_direct`` shim sites (this module): 5 of 9 MIGRATED IN
+   ROUND 9 (q_agg_rollup, q_agg_grouping_sets, q_agg_salted on slots;
+   q_join_full, q_window_share riding their refresh slots).
+   q_join_salted's planned flip ceded its slot to the q_acf int64
+   overflow fix (timeseries.py — found by the round-9 sf1 extension
+   sweep). Remaining 4 — q_join_salted, q_join_outer, q_join_right,
    q_tpch_q3_shipping — all <= ~3.5e12 scaled at sf1 (safe); migrate
    with round-10 slots and DELETE the shims.
 2. Inline ``CAST(SUM(CAST(.. AS DECIMAL)) AS DOUBLE)`` with sf1-scale
@@ -83,7 +85,8 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
      (PARITY_SF1.json); no action needed.
    - relational2.py q_window_range (scale 2, inline-OVER range frames —
      surfaced by the round-9 ratchet-regex widening): per-customer
-     cumulative sums, magnitude-safe; migrates on round 10's spare slot.
+     cumulative sums, magnitude-safe; migrates round 11 (round 10's
+     spare went to the q_acf emergency's displaced shim flip).
 3. ``spark.sql``-surface queries (sql_surface.py) execute ONE dialect-
    neutral text on both engines, so a single edit migrates both sides:
    q_sql_revenue_by_nation (scale 4, ~3.5e14 at sf1 — 1.4 orders of
@@ -144,8 +147,8 @@ def sql_sum_direct(expr: str, scale: int = 6) -> str:
     The string-routed ``sql_sum`` is the canonical semantics, but an oracle
     rewrite must hold a DRIVER_WINDOW adjudication slot in the same commit
     (tests/test_plan_lint.py::test_oracle_rewrite_requeues_adjudication).
-    Round 9 migrated 6 of the 9 call sites with slots; the 3 remaining
-    (q_join_outer, q_join_right, q_tpch_q3_shipping) keep this
+    Round 9 migrated 5 of the 9 call sites; the 4 remaining (q_join_salted,
+    q_join_outer, q_join_right, q_tpch_q3_shipping) keep this
     byte-identical pre-round-8 oracle text for one more round — each is
     safe at sf1 magnitudes (scaled sums >=2 orders below the 2^53
     direct-cast divergence boundary). Round 10: migrate them with slots

@@ -398,16 +398,28 @@ ACF_LAGS = (1, 2, 3, 7)
         JOIN daily cur ON TRUE
         JOIN daily prev ON prev.day = cur.day - l.lag
     ), sums AS (
+        -- x,y are daily cent totals (~1e13 at sf1), so BIGINT products
+        -- overflow int64 on BOTH engines (caught by the round-9 sf1
+        -- parity sweep: ANSI long overflow at .scale/sf1). Products are
+        -- computed as DECIMAL(19,0) x DECIMAL(19,0): 19 digits hold any
+        -- BIGINT operand, 19+19=38 satisfies DuckDB's multiply width cap,
+        -- and any int64 product fits DECIMAL(38,0) (< 8.6e37). The five
+        -- sums then string-route to DOUBLE (functions/exact.py), and the
+        -- variance guard runs in the same bit-identical doubles
         SELECT lag, COUNT(*) AS n,
-               SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM pairs GROUP BY lag
     )
     SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
-           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
            END AS acf
     FROM sums
     """,
@@ -416,12 +428,17 @@ ACF_LAGS = (1, 2, 3, 7)
     "weekly cycles; a high lag-1 means momentum) run before fitting any "
     "forecast. Daily totals are exact integer cents; each lag's (x, y) "
     "pairs come from an equi-join of the series onto itself shifted by "
-    "the lag (absent days drop the pair — no silent zero-fill), and all "
-    "five accumulations per lag are exact integers, with the same "
-    "integer-guarded token-identical Pearson closing form as "
-    "q_rolling_corr. At 100 TB: the event stream collapses map-side to "
-    "one row per day first; the lag join and aggregates then run over "
-    "|days| x |lags| rows — thousands, regardless of fact scale.",
+    "the lag (absent days drop the pair — no silent zero-fill). The five "
+    "accumulations per lag are exact DECIMAL sums — BIGINT products of "
+    "~1e13-cent daily totals overflow int64 at sf1 (found by the round-9 "
+    "sf1 parity sweep; DECIMAL(19,0) operands keep DuckDB's 38-width "
+    "multiply cap and any int64 product fits DECIMAL(38,0)) — "
+    "string-routed to bit-identical doubles for the guard and the "
+    "token-identical Pearson closing form (same shape as q_rolling_corr, "
+    "whose count units never overflow). At 100 TB: the event stream "
+    "collapses map-side to one row per day first; the lag join and "
+    "aggregates then run over |days| x |lags| rows — thousands, "
+    "regardless of fact scale.",
     tags=("timeseries", "events", "stats"),
 )
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,21 +457,21 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(prev, F.col("prev.day") == F.col("cur.day") - F.col("lag"))
         .select("lag", F.col("cur.v").alias("x"), F.col("prev.v").alias("y"))
     )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # any BIGINT fits; 19+19=38
+    s2d = lambda c: c.cast("string").cast("double")  # string-routed, exact
     sums = pairs.groupBy("lag").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        s2d(F.sum(F.col("x").cast("decimal(38,0)"))).alias("sx"),
+        s2d(F.sum(F.col("y").cast("decimal(38,0)"))).alias("sy"),
+        s2d(F.sum(d19("x") * d19("x"))).alias("sxx"),
+        s2d(F.sum(d19("y") * d19("y"))).alias("syy"),
+        s2d(F.sum(d19("x") * d19("y"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    vary = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    guard = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0) & (
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0
-    )
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    guard = (varx > 0) & (vary > 0)
     return sums.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("bigint").alias("n_pairs"),

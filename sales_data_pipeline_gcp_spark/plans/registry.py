@@ -134,17 +134,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #      q_sql_segment_leaders) — their string-route migrations ride
     #      these refresh slots for free (the rewrite-requeue lint needs a
     #      slot, not a SECOND slot).
-    #   7  oracle migrations from the functions/exact.py ledger, slotted,
-    #      in measured risk order: the three luck-class past-2^53 sites
-    #      first — q_chisq_independence (scale-12 contrib sum ~1e16
-    #      scaled), q_agg_stats + q_ols_regression (scale-0 moment sums
-    #      ~4.5e16 at sf1; the self-described tripwire — measured green by
-    #      int->double agreement, not guaranteed) — then 4 of the 9
-    #      sql_sum_direct shim sites (q_agg_rollup, q_agg_grouping_sets,
-    #      q_agg_salted, q_join_salted). With the two shim sites riding
-    #      refresh slots above, 3 shim sites remain (q_join_outer,
-    #      q_join_right, q_tpch_q3_shipping — all r7-fresh, all >=2
-    #      orders under the boundary) for round 10.
+    #   7  oracle rewrites from the functions/exact.py ledger plus one
+    #      mid-round emergency, slotted in measured risk order: the three
+    #      luck-class past-2^53 sites first — q_chisq_independence
+    #      (scale-12 contrib sum ~1e16 scaled), q_agg_stats +
+    #      q_ols_regression (scale-0 moment sums ~4.5e16 at sf1; the
+    #      self-described tripwire — measured green by int->double
+    #      agreement, not guaranteed) — then 3 of the sql_sum_direct shim
+    #      sites (q_agg_rollup, q_agg_grouping_sets, q_agg_salted), and
+    #      finally q_acf, whose slot q_join_salted's planned uniformity
+    #      flip ceded when the sf1 parity EXTENSION sweep caught q_acf
+    #      overflowing int64 on both engines (see the in-list comment).
+    #      With two shim sites riding refresh slots above, 4 shim sites
+    #      remain (q_join_salted, q_join_outer, q_join_right,
+    #      q_tpch_q3_shipping — all >=2 orders under the boundary) for
+    #      round 10.
     "q_graph_khop",
     # round-4-vintage refresh backlog (all of it), registration order
     "q_join_range",
@@ -197,25 +201,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_agg_rollup",
     "q_agg_grouping_sets",
     "q_agg_salted",
-    "q_join_salted",
+    # q_join_salted's planned uniformity flip CEDED this slot mid-round
+    # (bollinger precedent: a measured at-scale failure outranks a
+    # magnitude-safe cleanup): the round-9 sf1 parity EXTENSION sweep
+    # (55/56 hash-green) caught q_acf overflowing int64 on BOTH engines —
+    # BIGINT products of ~1e13-cent daily totals — now computed as
+    # DECIMAL(19,0) products with string-routed sums (timeseries.py) and
+    # re-verified at sf0.01/sf0.1/sf1. q_join_salted keeps its
+    # byte-identical sql_sum_direct oracle and migrates with the round-10
+    # shim batch.
+    "q_acf",
 )
 
 
 #: ROUND-10 ROTATION PLAN (written at the round-9 commit, assuming the r9
-#: window goes green; slot accounting 49/50, one discretionary slot):
+#: window goes green; slot accounting 50/50 after the q_acf emergency
+#: consumed round 9's slack):
 #:  46  the round-5-vintage refresh backlog in registration order — 49
 #:      queries sit at r5 today, minus q_graph_khop / q_chisq_independence
 #:      / q_ols_regression which hold r9 slots above. At the round-11
 #:      commit an unrefreshed r5 row is age 6 > K=5.
-#:   3  the last sql_sum_direct shim migrations (q_join_outer,
-#:      q_join_right, q_tpch_q3_shipping), after which the shim is DELETED
-#:      from functions/exact.py and the ratchet shrinks to the inline
-#:      legacy set only.
-#:   1  spare — first claim: q_window_range's string-route migration
-#:      (the round-9 ratchet-regex widening surfaced its inline-OVER
-#:      direct cast; magnitude-safe, so it waits for the slot rather
-#:      than displacing a refresher). An emergency (the bollinger
-#:      precedent) or touched-implementation re-queue outranks it.
+#:   4  the last sql_sum_direct shim migrations (q_join_salted — its r9
+#:      slot was ceded to the q_acf overflow fix — q_join_outer,
+#:      q_join_right, q_tpch_q3_shipping), after which the shim is
+#:      DELETED from functions/exact.py and the ratchet shrinks to the
+#:      inline legacy set only.
+#:  q_window_range's string-route migration (the round-9 ratchet-regex
+#:  widening surfaced its inline-OVER direct cast; magnitude-safe) slides
+#:  to round 11, whose r6-vintage backlog (48) leaves two free slots. An
+#:  emergency (bollinger/acf precedent) outranks any of the above by
+#:  displacing the lowest-risk shim flip.
 
 
 _ROUND8_WINDOW_HISTORY: tuple[str, ...] = (

@@ -279,6 +279,10 @@ DIRECT_CAST_LEGACY = {
     "q_attribution",
     "q_cohort_ltv", "q_decayed_avg", "q_join_bucketed",
     "q_join_dpp", "q_join_outer", "q_join_right",
+    # q_join_salted's round-9 flip was reverted mid-round: its slot went
+    # to the q_acf int64-overflow emergency (see registry.py); it
+    # migrates with the round-10 shim batch
+    "q_join_salted",
     "q_kmeans_iter", "q_null_semantics",
     "q_scan_evolved", "q_scan_orc", "q_scan_pruned",
     "q_stream_tumbling", "q_subquery_scalar", "q_time_weighted_avg",
