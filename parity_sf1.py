@@ -23,12 +23,31 @@ rather than silently skipped, and those queries also run against the
 fresh-vocabulary sf1 variant (.scale/sf1fv) where the co-shingle pair
 volume scales the way a real corpus's would.
 
+Coverage boundary (round 9): the sweep targets every oracled query whose
+OUTPUT is bounded (aggregates, top-k, per-group rollups — <= ~2000 rows at
+sf0.01, so <= ~200k at sf1). Row-identity queries (projections, filters,
+per-row scalar maps, full-table windows: q_math_scalars, q_unpivot,
+q_window_lag/range/firstlast, q_json_extract, q_map_functions,
+q_scd2_intervals) are excluded ON PURPOSE, not for convenience: they carry
+no accumulator whose value depends on magnitude — scale changes row COUNT,
+not per-row arithmetic — so the sf0.1 gate (238 oracle tests, every round)
+already proves everything sf1 could, while hashing millions of pandas rows
+would cost hours. q_dedup_simhash is also excluded: the derived fixture's
+10x replicas inflate its near-dup PAIR output quadratically (a fixture
+artifact, not a scale property; its cost bracket lives in SCALING.md).
+
 Usage:
     python parity_sf1.py            # full set -> PARITY_SF1.json
     python parity_sf1.py q_a q_b    # subset (still merges into the record)
+    python parity_sf1.py --all-oracled [q_a ...]  # coverage top-up over
+        every oracled registry query (honor the boundary above when
+        choosing names)
     python parity_sf1.py --sf10 [q_a ...]   # third-decade spot check,
         SF10_WHITELIST only (see below) -> "sf10_decimal_exact" section
-Env: PARITY_SF1_TIMEOUT (sec/query, default 1800).
+    python parity_sf1.py --merge-records shard.json [...]  # fold parallel
+        PARITY_SF1_OUT shard records into the canonical file
+Env: PARITY_SF1_TIMEOUT (sec/query, default 1800); PARITY_SF1_OUT
+(record path override for parallel shards).
 """
 
 from __future__ import annotations
@@ -45,7 +64,10 @@ sys.path.insert(0, HERE)
 
 SF1_DIR = os.path.join(HERE, ".scale", "sf1")
 SF1FV_DIR = os.path.join(HERE, ".scale", "sf1fv")
-OUT = os.path.join(HERE, "PARITY_SF1.json")
+#: PARITY_SF1_OUT overrides the record path so parallel shard instances
+#: (disjoint name subsets) can write race-free private records, merged
+#: into the committed file afterward by merge_records().
+OUT = os.environ.get("PARITY_SF1_OUT", os.path.join(HERE, "PARITY_SF1.json"))
 
 #: the 13 cost-leader families of scale_report.SF1_QUERIES (q_stream_join
 #: has no oracle -> rows-only, recorded as such) + the decimal-exact
@@ -152,6 +174,11 @@ FV_QUERIES: tuple[str, ...] = (
     "q_graph_triangles",
     "q_graph_triangles_lsh",
     "q_dedup_minhash",
+    # round-9 coverage sweep: times out on the SATURATED sf1 fixture (10x
+    # replicas put ~10 near-identical copies in every length+prefix
+    # block -> candidate explosion, a fixture artifact; recorded honestly
+    # as err=timeout) — the fresh-vocab decade is the realistic shape
+    "q_dedup_fuzzy",
 )
 
 SF10_DIR = os.path.join(HERE, ".scale", "sf10")
@@ -231,12 +258,20 @@ def _worker(name: str, sf_dir: str) -> None:
     print("RESULT|" + json.dumps(rec), flush=True)
 
 
-def main(only: list[str], sf10: bool = False) -> None:
+def main(only: list[str], sf10: bool = False, all_oracled: bool = False) -> None:
     timeout = int(os.environ.get("PARITY_SF1_TIMEOUT", "1800"))
     record: dict = {}
     if os.path.exists(OUT):
         record = json.load(open(OUT))
-    if sf10:
+    if all_oracled:
+        # coverage top-up: every oracled registry query (round-9 goal:
+        # all 231 oracled queries carry an sf1 row), registration order
+        from sales_data_pipeline_gcp_spark.plans import registry as _reg
+
+        base = [n for n, q in _reg.all_queries().items() if q.oracle]
+        jobs = [(n, SF1_DIR) for n in base if (not only or n in only)]
+        results = record.setdefault("queries", {})
+    elif sf10:
         bad = sorted(set(only) - set(SF10_WHITELIST))
         if bad:
             raise SystemExit(
@@ -294,9 +329,29 @@ def main(only: list[str], sf10: bool = False) -> None:
     print(f"done: {ok}/{len(results)} hash-green -> {OUT}")
 
 
+def merge_records(shard_paths: list[str]) -> None:
+    """Fold parallel shard records (PARITY_SF1_OUT instances over disjoint
+    name subsets) into the canonical PARITY_SF1.json 'queries' section."""
+    canonical = os.path.join(HERE, "PARITY_SF1.json")
+    record = json.load(open(canonical)) if os.path.exists(canonical) else {}
+    results = record.setdefault("queries", {})
+    n = 0
+    for p in shard_paths:
+        for key, rec in json.load(open(p)).get("queries", {}).items():
+            results[key] = rec
+            n += 1
+    with open(canonical, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    ok = sum(1 for r in results.values() if r.get("hash_match"))
+    print(f"merged {n} shard rows: {ok}/{len(results)} hash-green -> {canonical}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         _worker(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--merge-records":
+        merge_records(sys.argv[2:])
     else:
         argv = sys.argv[1:]
-        main([a for a in argv if a != "--sf10"], sf10="--sf10" in argv)
+        names = [a for a in argv if not a.startswith("--")]
+        main(names, sf10="--sf10" in argv, all_oracled="--all-oracled" in argv)
