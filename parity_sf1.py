@@ -174,10 +174,11 @@ FV_QUERIES: tuple[str, ...] = (
     "q_graph_triangles",
     "q_graph_triangles_lsh",
     "q_dedup_minhash",
-    # round-9 coverage sweep: times out on the SATURATED sf1 fixture (10x
-    # replicas put ~10 near-identical copies in every length+prefix
-    # block -> candidate explosion, a fixture artifact; recorded honestly
-    # as err=timeout) — the fresh-vocab decade is the realistic shape
+    # both sf1 decades are hash-green since the round-9 exact-collapse
+    # rewrite + the default 1800s budget (the 900s sweep budget could
+    # never fit the brute-force oracle's ~620s saturated-DP bill alone);
+    # kept on the fv list because its block-pair volume is the
+    # df-sensitive quantity the fv/saturated bracket disambiguates
     "q_dedup_fuzzy",
 )
 
@@ -315,14 +316,18 @@ def main(only: list[str], sf10: bool = False, all_oracled: bool = False) -> None
             }
         results[key]["wall_sec"] = round(time.perf_counter() - t0, 1)
         print(json.dumps(results[key]), flush=True)
-        record["meta"] = {
-            "fixture": "derived sf1 (scale_fixtures.py): 10x sf0.1 replica union, "
-            "~6M lineitem rows; @fv rows use the fresh-vocabulary documents variant",
-            "comparison": "tests/parity.py canonicalization: row count + dtype-kind "
-            "schema + order-insensitive md5 over canonical rows",
-            "generated_by": "parity_sf1.py",
-            "timeout_sec": timeout,
-        }
+        # MERGE into existing meta — replacing it would drop keys other
+        # writers maintain (the committed record's "coverage" narrative)
+        record.setdefault("meta", {}).update(
+            {
+                "fixture": "derived sf1 (scale_fixtures.py): 10x sf0.1 replica union, "
+                "~6M lineitem rows; @fv rows use the fresh-vocabulary documents variant",
+                "comparison": "tests/parity.py canonicalization: row count + dtype-kind "
+                "schema + order-insensitive md5 over canonical rows",
+                "generated_by": "parity_sf1.py",
+                "timeout_sec": timeout,
+            }
+        )
         with open(OUT, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
     ok = sum(1 for r in results.values() if r.get("hash_match"))

@@ -10,10 +10,38 @@ double value to a wide decimal, sum the decimals (exact, associative —
 order-independent), and cast the final total back to DOUBLE. Both engines
 then produce the *same* 64-bit float no matter how the sum was parallelized.
 
-The double->decimal rounding at scale ``s`` is unambiguous whenever the
-underlying exact value has fewer than ``s`` decimal digits (true for all
-fixture money/quantity columns and their 2-3-factor products), so Spark's
-HALF_UP and DuckDB's rounding cannot disagree.
+The double->decimal rounding at scale ``s`` is unambiguous whenever BOTH
+hold (the second condition found by round-9 differential fuzzing,
+tests/test_differential_fuzz.py):
+
+1. the underlying exact value has fewer than ``s`` decimal digits (true
+   for all fixture money/quantity columns and their 2-3-factor
+   products), AND
+2. the double is precise enough to pin the scale-``s`` digit:
+   ``ulp(v) < 10^-s``, i.e. conservatively ``|v| < 2^52 * 10^-s``.
+   The engines round DIFFERENT readings of the same double — Spark
+   rounds its SHORTEST decimal repr (BigDecimal.valueOf, i.e.
+   Double.toString), DuckDB rounds the EXACT binary expansion — and
+   once one double ulp spans a whole decimal quantum the two readings
+   can disagree by one decimal ulp. Fuzzed counterexample at scale 6:
+   -8995004040.86 (a cents-exact value, ulp ~1.9e-6) casts to
+   ...860000 in Spark (shortest repr '-8995004040.86') but ...860001
+   in DuckDB (exact expansion ...8600006103515625); pinned by
+   test_cast_domain_boundary.
+
+Per-scale input-domain audit (bound 2^52 * 10^-s; per-VALUE magnitudes,
+which unlike sums do NOT grow with SF except where noted):
+  s=2  -> 4.5e13  money columns <= ~1e6: margin ~3e7
+  s=0  -> 4.5e15  cents-unit moment cubes <= ~1.2e15: margin 3.9x,
+                  STATIC in SF (value ranges are generator-fixed)
+  s=4  -> 4.5e11  revenue products <= ~1e6: margin ~4.5e5
+  s=6  -> 4.5e9   row-level money <= ~1e6: margin ~4.5e3
+  s=12 -> 4.5e3   q_chisq_independence contribs: 30.9 at sf1 but they
+                  GROW ~linearly in SF (fixed effect size x more rows)
+                  — breach near ~sf150; if the deployment ever runs two
+                  more data decades, migrate chi2 to scale 6 (costs
+                  quantization granularity, buys 6 orders of domain;
+                  needs a window slot — oracle text changes).
 
 The FINAL decimal->double conversion goes through a STRING on both sides
 (``CAST(CAST(sum AS VARCHAR) AS DOUBLE)``), not a direct cast. A direct

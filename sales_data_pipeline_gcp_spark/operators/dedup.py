@@ -1157,10 +1157,24 @@ _FUZZY_CORPUS_SQL = f"""
     "the classic unit-cost DP, so the integer distance is exactly "
     "comparable. A deterministic 1-substitution clone of every "
     f"{FUZZY_CLONE_MOD}th doc is unioned in so the operator returns "
-    "pairs at every SF. At 100 TB the block key is the shuffle key and "
-    "the quadratic blow-up is bounded per-bucket (bucket population is "
-    "what you tune, exactly like LSH band width); the O(len^2) DP cost "
-    "per pair is capped by the prefix window.",
+    "pairs at every SF. Exact-duplicate PRE-COLLAPSE (round 9): docs "
+    "sharing an identical comparison prefix within a block are grouped "
+    "first, the O(len^2) DP runs once per DISTINCT-prefix pair, and id "
+    "pairs are expanded afterward — identical-prefix pairs are dist=0 by "
+    "definition, so the output is unchanged while DP cost tracks "
+    "distinct texts, not raw rows. Real crawls carry 30-60% byte-exact "
+    "duplicates (mirrors/reposts), which is where the collapse pays; "
+    "the derived sf1 fixture deliberately SALTS its replicas "
+    "(scale_fixtures.py), so there the 10x block population genuinely "
+    "costs ~100x DP pairs on both engines — Spark spreads that across "
+    "cores, the brute-force oracle pays it serially per pair. "
+    "At 100 TB the block key is the shuffle key "
+    "and the quadratic blow-up is bounded per-bucket (bucket population "
+    "is what you tune, exactly like LSH band width); the DP cost per "
+    "pair is capped by the prefix window. Skew note: a viral exact-dup "
+    "group emits C(n,2) pairs — that blow-up is output-inherent (the "
+    "pair list itself is quadratic); production corpora should route "
+    "exact dups through q_dedup_exact survivorship first.",
     tags=("dedup",),
 )
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,25 +1200,69 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(F.col("n_chars") / FUZZY_BUCKET).cast("bigint").alias("bucket"),
     )
-    a = corpus.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("prefix").alias("prefix_a"),
-        "source",
-        "bucket",
+    # Exact-duplicate pre-collapse: one group per distinct prefix within a
+    # block. NULL prefixes are dropped up front — in the pairwise form
+    # levenshtein(NULL, x) is NULL, which never passes the threshold
+    # filter, so a NULL-prefix doc can appear in no output pair.
+    # materialize: groups feeds THREE consumers (within + both join sides)
+    # — without it the scan + groupBy executes three times. One row per
+    # distinct prefix — the doc-sized shape materialize's contract wants.
+    groups = materialize(
+        corpus.filter(F.col("prefix").isNotNull())
+        .groupBy("source", "bucket", "prefix")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
-    b = corpus.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("prefix").alias("prefix_b"),
-        "source",
-        "bucket",
+    # Within-group pairs: identical prefixes, dist = 0. Sorted ids make
+    # the (doc_a < doc_b) orientation deterministic; the pair expansion
+    # is a JVM-side higher-order function, no Python in the loop.
+    within = (
+        groups.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("int").alias("dist"))
+    )
+    # Cross-group pairs: DP once per distinct-prefix pair (prefix_a <
+    # prefix_b picks each unordered group pair exactly once), then expand
+    # the id cross product; least/greatest restores doc_id orientation
+    # (distance is symmetric, so orientation never changes the value).
+    # The DP probe side needs an EXPLICIT numbered repartition: the join's
+    # build side auto-broadcasts when small, and AQE coalesces the tiny-
+    # BYTES groupBy shuffle to one partition (it sizes by bytes, blind to
+    # the 40k-cell DP each surviving row pays downstream) — measured 19.5s
+    # single-task vs ~1s spread at sf0.1. A user-specified partition count
+    # is exempt from AQE coalescing; at cluster scale both sides outgrow
+    # the broadcast threshold and the join reverts to a (source, bucket)
+    # shuffle join whose partitions carry real byte weight, so the extra
+    # round-robin pass stays noise next to the DP stage it feeds.
+    n = spark.sparkContext.defaultParallelism
+    ga = groups.repartition(n).select(
+        "source", "bucket", F.col("prefix").alias("prefix_a"), F.col("ids").alias("ids_a")
+    )
+    gb = groups.select(
+        "source", "bucket", F.col("prefix").alias("prefix_b"), F.col("ids").alias("ids_b")
     )
     dist = F.levenshtein(F.col("prefix_a"), F.col("prefix_b"))
-    return (
-        a.join(b, ["source", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    cross = (
+        ga.join(gb, ["source", "bucket"])
+        .filter(F.col("prefix_a") < F.col("prefix_b"))
         .filter(dist <= FUZZY_THRESHOLD)
-        .select("doc_a", "doc_b", dist.cast("int").alias("dist"))
+        .select(dist.cast("int").alias("dist"), "ids_a", "ids_b")
+        .select("dist", F.explode("ids_a").alias("ia"), "ids_b")
+        .select("dist", "ia", F.explode("ids_b").alias("ib"))
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "dist",
+        )
     )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

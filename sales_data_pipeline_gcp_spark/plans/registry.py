@@ -221,16 +221,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #:      queries sit at r5 today, minus q_graph_khop / q_chisq_independence
 #:      / q_ols_regression which hold r9 slots above. At the round-11
 #:      commit an unrefreshed r5 row is age 6 > K=5.
-#:   4  the last sql_sum_direct shim migrations (q_join_salted — its r9
-#:      slot was ceded to the q_acf overflow fix — q_join_outer,
-#:      q_join_right, q_tpch_q3_shipping), after which the shim is
-#:      DELETED from functions/exact.py and the ratchet shrinks to the
-#:      inline legacy set only.
+#:   1  q_dedup_fuzzy — touched implementation late in round 9 (khop
+#:      precedent: same oracle, new plan): exact-duplicate pre-collapse
+#:      so the Levenshtein DP runs once per DISTINCT prefix pair
+#:      (dedup.py), verified hash-green at sf0.01/sf0.1/sf1 locally but
+#:      the driver row predates the plan.
+#:   3  sql_sum_direct shim migrations (q_join_salted — its r9 slot was
+#:      ceded to the q_acf overflow fix — q_join_outer,
+#:      q_tpch_q3_shipping); the displaced lowest-risk flip
+#:      (q_join_right) takes round 11's second spare slot, after which
+#:      the shim is DELETED from functions/exact.py and the ratchet
+#:      shrinks to the inline legacy set only.
 #:  q_window_range's string-route migration (the round-9 ratchet-regex
 #:  widening surfaced its inline-OVER direct cast; magnitude-safe) slides
-#:  to round 11, whose r6-vintage backlog (48) leaves two free slots. An
-#:  emergency (bollinger/acf precedent) outranks any of the above by
-#:  displacing the lowest-risk shim flip.
+#:  to round 11, whose r6-vintage backlog (48) leaves two free slots
+#:  (q_window_range + the displaced q_join_right fill them). An emergency
+#:  (bollinger/acf precedent) outranks any of the above by displacing the
+#:  lowest-risk shim flip.
 
 
 _ROUND8_WINDOW_HISTORY: tuple[str, ...] = (

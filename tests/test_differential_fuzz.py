@@ -1,0 +1,393 @@
+"""Cross-engine differential FUZZING: identical semantics evaluated by
+Spark and DuckDB over RANDOMIZED adversarial relations.
+
+Why this exists (round 9): the fixed-fixture parity suite proves each
+declared query on the shipped data, but both real cross-engine wrong
+answers this project has ever had (round 8 q_agg_group / q_bollinger_bands,
+round 9 q_acf) were MAGNITUDE-dependent — invisible at the adjudication SF
+and only exposed when a bigger fixture happened to push an accumulator past
+a binary boundary (2^53, int64). Randomized inputs attack those boundaries
+directly instead of waiting for a fixture to find them:
+
+- the string-routed exact-decimal-sum contract (functions/exact.py) on
+  magnitudes straddling 2^53, signed, with cancellation and NULLs;
+- NULL join keys, three-valued IN/NOT IN, empty/all-NULL groups;
+- window frames (ROWS / integer RANGE with ties, LAG defaults);
+- set-operation NULL-equality and duplicate semantics.
+
+Comparison is EXACT (the engine's cross-engine contract): floats must be
+bit-identical, not close. Numeric cells are normalized to float only to
+absorb pandas' nullable-int-to-float64 conversion asymmetry between the
+two drivers — every magnitude asserted here is integral-exact below 2^53
+or produced by the decimal string route, so the normalization never hides
+a real divergence.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_sum
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    return v
+
+
+def _canon(pdf) -> list[tuple]:
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [
+        tuple(_norm_cell(None if v is None or (isinstance(v, float) and math.isnan(v)) else v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+_DDL = {pa.int64(): "bigint", pa.float64(): "double", pa.string(): "string"}
+
+
+def _ddl(tbl: pa.Table) -> str:
+    return ", ".join(f"{f.name} {_DDL[f.type]}" for f in tbl.schema)
+
+
+def _both(spark, sql: str, tables: dict[str, pa.Table]):
+    """Run the same SQL text on Spark temp views and DuckDB registrations,
+    returning canonicalized row lists."""
+    for name, tbl in tables.items():
+        # explicit schema: EMPTY relations are valid fuzz inputs and
+        # pandas inference cannot type them
+        spark.createDataFrame(tbl.to_pandas(), _ddl(tbl)).createOrReplaceTempView(name)
+    con = duckdb.connect()
+    try:
+        for name, tbl in tables.items():
+            con.register(name, tbl)
+        return _canon(spark.sql(sql).toPandas()), _canon(con.execute(sql).df())
+    finally:
+        con.close()
+
+
+def _int_col(rng: random.Random, n: int, lo: int, hi: int, null_p: float = 0.2):
+    return [None if rng.random() < null_p else rng.randint(lo, hi) for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# 1. the exact-sum contract at adversarial magnitudes (the r8/r9 bug class)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_exact_sum_bit_identical_across_2pow53(spark, seed):
+    """exact_sum (Spark) and sql_sum (DuckDB) must produce BIT-IDENTICAL
+    doubles for any mix of magnitudes — including scaled sums far past
+    2^53, signed cancellation, NULL values, NULL group keys, and all-NULL
+    groups. This is the exact contract the round-8 divergence broke."""
+    rng = random.Random(seed)
+    n = rng.randint(1, 60)
+    # cents-exact doubles spanning 9 orders of magnitude, bounded to the
+    # documented INPUT-cast domain |v| < 2^52 * 10^-6 ~ 4.5e9 (see
+    # functions/exact.py + test_cast_domain_boundary below — the first
+    # run of this fuzzer without the bound found the domain edge).
+    # Group SUMS still cross 2^53 * 10^-6 freely — the string-route
+    # contract under test has no magnitude bound.
+    ks = _int_col(rng, n, 0, 4, null_p=0.15)
+    vs = [
+        None
+        if rng.random() < 0.15
+        else rng.choice([1, -1]) * rng.randint(0, 10**rng.randint(2, 11)) / 100.0
+        for _ in range(n)
+    ]
+    tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())})
+
+    spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView("fz")
+    got = (
+        spark.table("fz").groupBy("k").agg(exact_sum(F.col("v")).alias("s")).toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fz", tbl)
+        exp = con.execute(f"SELECT k, {sql_sum('v')} AS s FROM fz GROUP BY k").df()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(exp), (seed, _canon(got), _canon(exp))
+
+
+# ---------------------------------------------------------------------------
+# 2. NULL join-key semantics + three-valued IN / NOT IN
+# ---------------------------------------------------------------------------
+
+_JOIN_SQL = {
+    "inner": """
+        SELECT a.id AS aid, b.id AS bid
+        FROM ta a JOIN tb b ON a.k = b.k""",
+    "left": """
+        SELECT a.id AS aid, b.id AS bid
+        FROM ta a LEFT JOIN tb b ON a.k = b.k""",
+    "full": """
+        SELECT a.id AS aid, b.id AS bid
+        FROM ta a FULL JOIN tb b ON a.k = b.k""",
+    "exists": """
+        SELECT a.id AS aid FROM ta a
+        WHERE EXISTS (SELECT 1 FROM tb b WHERE b.k = a.k)""",
+    "not_exists": """
+        SELECT a.id AS aid FROM ta a
+        WHERE NOT EXISTS (SELECT 1 FROM tb b WHERE b.k = a.k)""",
+    # the three-valued-logic classic: one NULL in the subquery makes
+    # NOT IN UNKNOWN for every non-matching row (usually empty output)
+    "not_in": """
+        SELECT a.id AS aid FROM ta a
+        WHERE a.k NOT IN (SELECT b.k FROM tb b)""",
+    "in": """
+        SELECT a.id AS aid FROM ta a
+        WHERE a.k IN (SELECT b.k FROM tb b)""",
+}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_join_and_membership_null_semantics(spark, seed):
+    rng = random.Random(seed)
+    na, nb = rng.randint(1, 25), rng.randint(0, 25)
+    tables = {
+        "ta": pa.table(
+            {
+                "id": pa.array(range(na), pa.int64()),
+                "k": pa.array(_int_col(rng, na, 0, 6, null_p=0.25), pa.int64()),
+            }
+        ),
+        "tb": pa.table(
+            {
+                "id": pa.array(range(100, 100 + nb), pa.int64()),
+                "k": pa.array(_int_col(rng, nb, 0, 6, null_p=0.25), pa.int64()),
+            }
+        ),
+    }
+    for shape, sql in _JOIN_SQL.items():
+        got, exp = _both(spark, sql, tables)
+        assert got == exp, (seed, shape, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 3. window frames: ROWS, integer RANGE with ties, LAG defaults
+# ---------------------------------------------------------------------------
+
+_WINDOW_SQL = """
+    SELECT id,
+           CAST(SUM(v) OVER (PARTITION BY k ORDER BY id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rows_sum,
+           CAST(SUM(v) OVER (PARTITION BY k ORDER BY o
+                RANGE BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS range_sum,
+           CAST(LAG(v, 1, -999) OVER (PARTITION BY k ORDER BY id) AS BIGINT) AS lagged,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS BIGINT) AS rn
+    FROM tw
+"""
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_window_frames_rows_range_ties(spark, seed):
+    """ROWS frames keyed by a UNIQUE order column (ties would make them
+    nondeterministic by definition); the RANGE frame orders by a column
+    WITH duplicates — peer rows aggregate as one range both engines."""
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    tables = {
+        "tw": pa.table(
+            {
+                "id": pa.array(range(n), pa.int64()),
+                "k": pa.array([rng.randint(0, 2) for _ in range(n)], pa.int64()),
+                "o": pa.array([rng.randint(0, 8) for _ in range(n)], pa.int64()),
+                "v": pa.array([rng.randint(-100, 100) for _ in range(n)], pa.int64()),
+            }
+        )
+    }
+    got, exp = _both(spark, _WINDOW_SQL, tables)
+    assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 4. grouped aggregation over NULL keys / all-NULL groups / HAVING
+# ---------------------------------------------------------------------------
+
+_AGG_SQL = """
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_vals,
+           CAST(MIN(v) AS BIGINT) AS mn,
+           CAST(MAX(v) AS BIGINT) AS mx,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM tg GROUP BY k
+    HAVING COUNT(*) > 1
+"""
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_group_agg_null_keys_and_all_null_groups(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(2, 40)
+    ks = _int_col(rng, n, 0, 4, null_p=0.3)
+    # bias toward all-NULL value groups: group 0's values are always NULL
+    vs = [None if (k == 0 or rng.random() < 0.3) else rng.randint(-50, 50) for k in ks]
+    tables = {
+        "tg": pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.int64())})
+    }
+    got, exp = _both(spark, _AGG_SQL, tables)
+    assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 5. set operations: NULL equality, duplicate semantics
+# ---------------------------------------------------------------------------
+
+_SET_SQL = {
+    "union": "SELECT x FROM s1 UNION SELECT x FROM s2",
+    "union_all": "SELECT x FROM s1 UNION ALL SELECT x FROM s2",
+    "intersect": "SELECT x FROM s1 INTERSECT SELECT x FROM s2",
+    "except": "SELECT x FROM s1 EXCEPT SELECT x FROM s2",
+}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_set_ops_null_equality_and_duplicates(spark, seed):
+    """Set ops treat NULL as equal to NULL (unlike join predicates) and
+    UNION/INTERSECT/EXCEPT deduplicate — both engines must agree on the
+    deduped multiset including the NULL row."""
+    rng = random.Random(seed)
+    mk = lambda n: pa.table({"x": pa.array(_int_col(rng, n, 0, 5, null_p=0.3), pa.int64())})
+    tables = {"s1": mk(rng.randint(0, 20)), "s2": mk(rng.randint(0, 20))}
+    for shape, sql in _SET_SQL.items():
+        got, exp = _both(spark, sql, tables)
+        assert got == exp, (seed, shape, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 6. levenshtein: the cross-engine unit-cost-DP contract q_dedup_fuzzy
+#    rests on (both docstrings CLAIM "the classic unit-cost DP, exactly
+#    comparable" — this fuzzes the claim instead of trusting it)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_levenshtein_unit_cost_dp_agrees(spark, seed):
+    rng = random.Random(seed)
+    alpha = "abXY "  # small alphabet maximizes near-miss pairs
+
+    def word():
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+
+    n = rng.randint(1, 30)
+    pairs = []
+    for i in range(n):
+        s = word()
+        # half the rows: an edited twin (substitute/insert/delete) so the
+        # distance distribution concentrates on small, assertable values
+        if rng.random() < 0.5 and s:
+            p = rng.randrange(len(s))
+            t = {0: s[:p] + rng.choice(alpha) + s[p + 1 :],
+                 1: s[:p] + rng.choice(alpha) + s[p:],
+                 2: s[:p] + s[p + 1 :]}[rng.randint(0, 2)]
+        else:
+            t = word()
+        pairs.append((i, s, t))
+    tables = {
+        "tl": pa.table(
+            {
+                "id": pa.array([p[0] for p in pairs], pa.int64()),
+                "s": pa.array([p[1] for p in pairs], pa.string()),
+                "t": pa.array([p[2] for p in pairs], pa.string()),
+            }
+        )
+    }
+    sql = "SELECT id, CAST(levenshtein(s, t) AS BIGINT) AS d FROM tl"
+    got, exp = _both(spark, sql, tables)
+    assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 7. the exact-avg contract (string-routed sum / count, double division)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_exact_avg_bit_identical(spark, seed):
+    from sales_data_pipeline_gcp_spark.functions.exact import exact_avg, sql_avg
+
+    rng = random.Random(seed)
+    n = rng.randint(1, 50)
+    ks = _int_col(rng, n, 0, 3, null_p=0.1)
+    # bounded to the input-cast domain |v| < 2^52 * 10^-6: the first run
+    # of this test at 1e10 magnitudes FOUND the domain boundary (seed
+    # 2659, value -8995004040.86) — see test_cast_domain_boundary
+    vs = [
+        None if rng.random() < 0.2 else rng.randint(-10**11, 10**11) / 100.0
+        for _ in range(n)
+    ]
+    tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())})
+    spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView("fa")
+    got = spark.table("fa").groupBy("k").agg(exact_avg(F.col("v")).alias("a")).toPandas()
+    con = duckdb.connect()
+    try:
+        con.register("fa", tbl)
+        exp = con.execute(f"SELECT k, {sql_avg('v')} AS a FROM fa GROUP BY k").df()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(exp), (seed, _canon(got), _canon(exp))
+
+
+# ---------------------------------------------------------------------------
+# 8. the DOUBLE->DECIMAL input-cast domain boundary (deterministic pin of
+#    the divergence this file's first unbounded run discovered)
+# ---------------------------------------------------------------------------
+
+
+def test_cast_domain_boundary(spark):
+    """Spark CAST(DOUBLE AS DECIMAL(38,6)) rounds the double's SHORTEST
+    decimal repr (BigDecimal.valueOf); rounding the EXACT binary expansion
+    (what DuckDB does) gives a different scale-6 value once ulp(v) spans a
+    decimal quantum. Pins the Spark half of the mechanism (stable across
+    DuckDB versions) on the fuzz-found counterexample; the cross-engine
+    domain rule it justifies lives in functions/exact.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = -8995004040.86  # cents-exact, |v| in (2^52*1e-6, 2^53*1e-6)
+    got = (
+        spark.range(1)
+        .select(F.lit(v).cast("decimal(38,6)").cast("string").alias("s"))
+        .collect()[0]["s"]
+    )
+    shortest = Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    exact = Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    assert Decimal(got) == shortest, (got, shortest)
+    assert shortest != exact, "counterexample no longer straddles the boundary"
+    # and inside the documented domain the two readings agree: the same
+    # shape of value at 1/10th the magnitude (ulp ~1.2e-7 < 1e-6) is
+    # unambiguous — shortest-repr and exact-expansion rounding coincide
+    w = v / 10
+    shortest_w = Decimal(repr(w)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    exact_w = Decimal(w).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    assert shortest_w == exact_w
+    got_safe = (
+        spark.range(1)
+        .select(F.lit(w).cast("decimal(38,6)").cast("string").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert Decimal(got_safe) == shortest_w, (got_safe, shortest_w)
