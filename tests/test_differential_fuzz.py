@@ -359,6 +359,170 @@ def test_exact_avg_bit_identical(spark, seed):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# 9. exact-percentile interpolation: Spark percentile() vs DuckDB
+#    quantile_cont() — q_percentile's docstring claims identical semantics;
+#    this fuzzes tiny groups, duplicates, and non-grid probabilities where
+#    an interpolation-formula difference would surface as last-bit drift
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_percentile_quantile_cont_agree(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    ks = [rng.randint(0, 3) for _ in range(n)]  # group sizes 1..~15
+    vs = [rng.randint(-10**7, 10**7) / 100.0 for _ in range(n)]
+    p = rng.choice([0.25, 0.5, 0.75, 0.9, 0.01, 0.33, 0.66, 0.99])
+    tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())})
+    spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView("fp")
+    got = (
+        spark.table("fp").groupBy("k").agg(F.percentile("v", F.lit(p)).alias("q")).toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fp", tbl)
+        exp = con.execute(f"SELECT k, quantile_cont(v, {p!r}) AS q FROM fp GROUP BY k").df()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(exp), (seed, p, _canon(got), _canon(exp))
+
+
+# ---------------------------------------------------------------------------
+# 10. the guarded-division idiom (x / NULLIF(y, 0)): the repo's oracles use
+#     it everywhere BECAUSE bare /0 is NULL in Spark but IEEE inf in DuckDB
+#     — fuzz that the guarded form (and int/int promotion) really is
+#     engine-identical on zeros, NULLs, and sign combinations
+# ---------------------------------------------------------------------------
+
+_DIV_SQL = """
+    SELECT id,
+           a / NULLIF(b, 0) AS dd,
+           CAST(i AS DOUBLE) / NULLIF(CAST(j AS DOUBLE), 0) AS ii
+    FROM td
+"""
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_guarded_division_idiom(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    zeroish = lambda: rng.choice([0, 0, rng.randint(-999, 999)])
+    tables = {
+        "td": pa.table(
+            {
+                "id": pa.array(range(n), pa.int64()),
+                "a": pa.array(
+                    [None if rng.random() < 0.2 else rng.randint(-10**6, 10**6) / 100.0 for _ in range(n)],
+                    pa.float64(),
+                ),
+                "b": pa.array(
+                    [None if rng.random() < 0.2 else float(zeroish()) for _ in range(n)],
+                    pa.float64(),
+                ),
+                "i": pa.array(_int_col(rng, n, -1000, 1000), pa.int64()),
+                "j": pa.array([None if rng.random() < 0.2 else zeroish() for _ in range(n)], pa.int64()),
+            }
+        )
+    }
+    got, exp = _both(spark, _DIV_SQL, tables)
+    assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 11. string scalars over non-ASCII input: the text operators' building
+#     blocks (length/substr/upper/lower/trim/replace/concat_ws/split_part).
+#     The first unbounded run of this fuzzer found TWO cross-engine
+#     boundaries (pinned in test_string_semantics_boundaries below):
+#       - lower()/upper(): Java applies Unicode CONTEXTUAL rules (Greek
+#         final sigma: lower('ΣΣ Σ') = 'σς σ'), utf8proc maps
+#         codepoint-wise ('σσ σ') — so case functions are portable only
+#         on scripts without contextual case rules (ASCII, Latin
+#         accents, CJK agree; Greek does not);
+#       - split_part(NULL, ...): NULL in Spark, '' in DuckDB 1.0.0 — the
+#         portable idiom for nullable columns is an explicit CASE guard.
+#     No declared query is exposed: fixture text is all-ASCII/non-null,
+#     and text.py's normalizers strip non-[a-z0-9 ] AFTER lowering, so a
+#     sigma-variant difference is erased before any downstream use. The
+#     fuzzer below generates INSIDE the portable domain; the boundary
+#     test pins what lies outside it.
+# ---------------------------------------------------------------------------
+
+_STR_SQL = """
+    SELECT id,
+           CAST(length(s) AS BIGINT) AS n_chars,
+           substr(s, 2, 3) AS mid,
+           upper(s) AS up,
+           lower(s) AS lo,
+           trim(s) AS trimmed,
+           replace(s, 'a', '_') AS repl,
+           concat_ws('|', s, t) AS joined,
+           CASE WHEN s IS NULL THEN NULL
+                ELSE split_part(s, ' ', 1) END AS first_tok
+    FROM ts
+"""
+
+_ALPHABETS = [
+    "ab c",  # ascii + space
+    "aá ö",  # latin accents
+    "日本語 ",  # CJK + space
+    "ab ΛλΩω",  # greek WITHOUT sigma (no contextual case rule)
+]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_string_scalars_unicode(spark, seed):
+    rng = random.Random(seed)
+    alpha = rng.choice(_ALPHABETS)
+
+    def word():
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+
+    n = rng.randint(1, 30)
+    tables = {
+        "ts": pa.table(
+            {
+                "id": pa.array(range(n), pa.int64()),
+                "s": pa.array([None if rng.random() < 0.15 else word() for _ in range(n)], pa.string()),
+                "t": pa.array([None if rng.random() < 0.15 else word() for _ in range(n)], pa.string()),
+            }
+        )
+    }
+    got, exp = _both(spark, _STR_SQL, tables)
+    assert got == exp, (seed, alpha, got, exp)
+
+
+def test_string_semantics_boundaries(spark):
+    """Deterministic pins of the two fuzz-found portability boundaries.
+    DuckDB-side values assert the 1.0.0 oracle-contract dialect
+    (tests/parity.py ORACLE_DUCKDB_VERSION) — if a DuckDB upgrade changes
+    either, the portable-domain comments in this file need re-deriving."""
+    got = (
+        spark.range(1)
+        .selectExpr(
+            "lower('ΣΣ Σ') AS lo",  # 'ΣΣ Σ'
+            "split_part(CAST(NULL AS STRING), ' ', 1) AS sp",
+        )
+        .collect()[0]
+    )
+    # Java/Spark: contextual final sigma at word end
+    assert got["lo"] == "σς σ", got["lo"]  # 'σς σ'
+    assert got["sp"] is None
+    con = duckdb.connect()
+    try:
+        row = con.execute(
+            "SELECT lower('ΣΣ Σ') AS lo, "
+            "split_part(CAST(NULL AS VARCHAR), ' ', 1) AS sp"
+        ).fetchone()
+    finally:
+        con.close()
+    assert row[0] == "σσ σ", row[0]  # codepoint-wise 'σσ σ'
+    assert row[1] == "", row[1]
+
+
 def test_cast_domain_boundary(spark):
     """Spark CAST(DOUBLE AS DECIMAL(38,6)) rounds the double's SHORTEST
     decimal repr (BigDecimal.valueOf); rounding the EXACT binary expansion
