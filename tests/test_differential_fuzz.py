@@ -58,20 +58,16 @@ def _canon(pdf) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 
-_DDL = {pa.int64(): "bigint", pa.float64(): "double", pa.string(): "string"}
-
-
-def _ddl(tbl: pa.Table) -> str:
-    return ", ".join(f"{f.name} {_DDL[f.type]}" for f in tbl.schema)
-
-
 def _both(spark, sql: str, tables: dict[str, pa.Table]):
     """Run the same SQL text on Spark temp views and DuckDB registrations,
     returning canonicalized row lists."""
     for name, tbl in tables.items():
-        # explicit schema: EMPTY relations are valid fuzz inputs and
-        # pandas inference cannot type them
-        spark.createDataFrame(tbl.to_pandas(), _ddl(tbl)).createOrReplaceTempView(name)
+        # feed Spark the ARROW table directly: a pandas round-trip turns
+        # nullable int64 into float64, silently corrupting operands past
+        # 2^53 (this harness bug masqueraded as a decimal-sum divergence
+        # before test 12's 2^62 operands exposed it), and empty relations
+        # lose their schema entirely
+        spark.createDataFrame(tbl).createOrReplaceTempView(name)
     con = duckdb.connect()
     try:
         for name, tbl in tables.items():
@@ -114,7 +110,7 @@ def test_exact_sum_bit_identical_across_2pow53(spark, seed):
     ]
     tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())})
 
-    spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView("fz")
+    spark.createDataFrame(tbl).createOrReplaceTempView("fz")
     got = (
         spark.table("fz").groupBy("k").agg(exact_sum(F.col("v")).alias("s")).toPandas()
     )
@@ -260,6 +256,9 @@ _SET_SQL = {
     "union_all": "SELECT x FROM s1 UNION ALL SELECT x FROM s2",
     "intersect": "SELECT x FROM s1 INTERSECT SELECT x FROM s2",
     "except": "SELECT x FROM s1 EXCEPT SELECT x FROM s2",
+    # bag semantics (q_set_bag_ops' shape): multiplicity min / difference
+    "intersect_all": "SELECT x FROM s1 INTERSECT ALL SELECT x FROM s2",
+    "except_all": "SELECT x FROM s1 EXCEPT ALL SELECT x FROM s2",
 }
 
 
@@ -342,7 +341,7 @@ def test_exact_avg_bit_identical(spark, seed):
         for _ in range(n)
     ]
     tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())})
-    spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView("fa")
+    spark.createDataFrame(tbl).createOrReplaceTempView("fa")
     got = spark.table("fa").groupBy("k").agg(exact_avg(F.col("v")).alias("a")).toPandas()
     con = duckdb.connect()
     try:
@@ -357,6 +356,87 @@ def test_exact_avg_bit_identical(spark, seed):
 # 8. the DOUBLE->DECIMAL input-cast domain boundary (deterministic pin of
 #    the divergence this file's first unbounded run discovered)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# 12. exact decimal products: the q_acf overflow-fix class — BIGINT
+#     operands multiplied as DECIMAL(19,0) (19+19 = 38 fits both engines'
+#     multiply width; any int64 product fits DECIMAL(38,0)), summed with
+#     the string route. Fuzz with operands up to |int64|/2 so raw BIGINT
+#     multiplication WOULD overflow — the failure q_acf actually had.
+# ---------------------------------------------------------------------------
+
+_DECPROD_SQL = """
+    SELECT k,
+           CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS STRING) AS DOUBLE) AS sxy
+    FROM tp GROUP BY k
+"""
+# STRING, not VARCHAR: Spark's parser rejects bare VARCHAR (needs a
+# length), DuckDB accepts STRING — the same shared-text trap the
+# sql_surface migrations hit in round 9.
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_decimal_product_sums_bit_identical(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    big = lambda: rng.choice([1, -1]) * rng.randint(0, 2**62)
+    tables = {
+        "tp": pa.table(
+            {
+                "k": pa.array([rng.randint(0, 3) for _ in range(n)], pa.int64()),
+                "x": pa.array([None if rng.random() < 0.15 else big() for _ in range(n)], pa.int64()),
+                "y": pa.array([None if rng.random() < 0.15 else big() for _ in range(n)], pa.int64()),
+            }
+        )
+    }
+    got, exp = _both(spark, _DECPROD_SQL, tables)
+    assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 13. ROLLUP / CUBE / GROUPING SETS: null-marker vs real-NULL key rows —
+#     GROUPING() disambiguates them; both engines must agree on the whole
+#     lattice including the all-NULL group and real NULL keys
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+    SELECT a, b,
+           CAST(GROUPING(a) AS BIGINT) AS ga,
+           CAST(GROUPING(b) AS BIGINT) AS gb,
+           CAST(SUM(v) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tr GROUP BY ROLLUP(a, b)
+"""
+
+_CUBE_SQL = """
+    SELECT a, b,
+           CAST(GROUPING(a) AS BIGINT) AS ga,
+           CAST(GROUPING(b) AS BIGINT) AS gb,
+           CAST(SUM(v) AS BIGINT) AS s
+    FROM tr GROUP BY CUBE(a, b)
+"""
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_rollup_cube_null_markers(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    tables = {
+        "tr": pa.table(
+            {
+                "a": pa.array(_int_col(rng, n, 0, 2, null_p=0.3), pa.int64()),
+                "b": pa.array(_int_col(rng, n, 0, 2, null_p=0.3), pa.int64()),
+                "v": pa.array([rng.randint(-100, 100) for _ in range(n)], pa.int64()),
+            }
+        )
+    }
+    for shape, sql in (("rollup", _ROLLUP_SQL), ("cube", _CUBE_SQL)):
+        got, exp = _both(spark, sql, tables)
+        assert got == exp, (seed, shape, got, exp)
 
 
 # ---------------------------------------------------------------------------
@@ -376,7 +456,7 @@ def test_percentile_quantile_cont_agree(spark, seed):
     vs = [rng.randint(-10**7, 10**7) / 100.0 for _ in range(n)]
     p = rng.choice([0.25, 0.5, 0.75, 0.9, 0.01, 0.33, 0.66, 0.99])
     tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())})
-    spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView("fp")
+    spark.createDataFrame(tbl).createOrReplaceTempView("fp")
     got = (
         spark.table("fp").groupBy("k").agg(F.percentile("v", F.lit(p)).alias("q")).toPandas()
     )
