@@ -603,6 +603,111 @@ def test_string_semantics_boundaries(spark):
     assert row[1] == "", row[1]
 
 
+# ---------------------------------------------------------------------------
+# 15. correlated scalar subqueries (q_subquery_correlated's shape): the
+#     decorrelation rewrite must preserve empty-group NULLs, NULL-key
+#     non-matches, and ties — fuzzed against DuckDB's independent planner
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+    SELECT a.id,
+           (SELECT CAST(MAX(b.v) AS BIGINT) FROM tb b WHERE b.k = a.k) AS mx,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tb b WHERE b.k = a.k) AS n,
+           (SELECT CAST(SUM(b.v) AS BIGINT) FROM tb b
+             WHERE b.k = a.k AND b.v > a.t) AS s_gt
+    FROM ta a
+"""
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_correlated_scalar_subqueries(spark, seed):
+    rng = random.Random(seed)
+    na, nb = rng.randint(1, 25), rng.randint(0, 30)
+    tables = {
+        "ta": pa.table(
+            {
+                "id": pa.array(range(na), pa.int64()),
+                "k": pa.array(_int_col(rng, na, 0, 5, null_p=0.25), pa.int64()),
+                "t": pa.array(_int_col(rng, na, -50, 50, null_p=0.2), pa.int64()),
+            }
+        ),
+        "tb": pa.table(
+            {
+                "k": pa.array(_int_col(rng, nb, 0, 5, null_p=0.25), pa.int64()),
+                "v": pa.array(_int_col(rng, nb, -100, 100, null_p=0.2), pa.int64()),
+            }
+        ),
+    }
+    got, exp = _both(spark, _CORR_SQL, tables)
+    assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 14. the events epoch contract: io.load's NTZ -> int64 epoch-ns derivation
+#     must equal DuckDB's epoch_ns() on the SAME parquet under a HOSTILE
+#     session timezone — the one tz-sensitive spot in the events pipeline
+#     (everything downstream is integer arithmetic by design). Random
+#     epochs deliberately straddle US DST transitions, where a tz-aware
+#     cast would shift by the UTC offset and a naive one would not.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_events_epoch_ns_contract_under_hostile_tz(spark, seed):
+    import os
+    import tempfile
+
+    from sales_data_pipeline_gcp_spark.io import load
+
+    rng = random.Random(seed)
+    dst_2026_spring = 1772949600_000_000  # 2026-03-08 06:00:00Z (US spring-forward hour)
+    dst_2026_fall = 1793412000_000_000  # 2026-11-01 06:00:00Z (fall-back hour)
+    micros = [
+        rng.choice(
+            [
+                rng.randint(0, 4_102_444_800_000_000),  # 1970..2100
+                dst_2026_spring + rng.randint(-7200, 7200) * 1_000_000,
+                dst_2026_fall + rng.randint(-7200, 7200) * 1_000_000,
+            ]
+        )
+        for _ in range(rng.randint(1, 40))
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(micros)), pa.int64()),
+            # timestamp[us] WITHOUT tz = the TIMESTAMP(MICROS)/NTZ footer
+            # layout io.load's second branch handles
+            "ts": pa.array(micros, pa.timestamp("us")),
+        }
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    with tempfile.TemporaryDirectory(prefix="fuzz_events_") as tmp:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            got = {
+                r["event_id"]: r["ts"]
+                for r in load(spark, tmp, "events").select("event_id", "ts").collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+        con = duckdb.connect()
+        try:
+            exp = {
+                eid: ns
+                for eid, ns in con.execute(
+                    f"SELECT event_id, epoch_ns(ts) FROM '{tmp}/events.parquet'"
+                ).fetchall()
+            }
+        finally:
+            con.close()
+    assert got == exp, (seed, {k: (got[k], exp[k]) for k in got if got[k] != exp[k]})
+
+
 def test_cast_domain_boundary(spark):
     """Spark CAST(DOUBLE AS DECIMAL(38,6)) rounds the double's SHORTEST
     decimal repr (BigDecimal.valueOf); rounding the EXACT binary expansion
