@@ -604,6 +604,48 @@ def test_string_semantics_boundaries(spark):
 
 
 # ---------------------------------------------------------------------------
+# 16. the production text-normalizer pair (q_text_normalize / the SNM key):
+#     Spark's Java-regex regexp_replace(lower(s), '[^a-z0-9 ]', '') chain
+#     vs DuckDB's RE2-with-'g'-flag oracle equivalent — the exact pattern
+#     pair every normalized-dedup oracle relies on, fuzzed over
+#     punctuation-, digit-, unicode- and whitespace-heavy strings
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_text_normalizer_regex_pair(spark, seed):
+    rng = random.Random(seed)
+    alpha = "aB9 !?.,\t日á  --__"
+
+    def word():
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+
+    n = rng.randint(1, 30)
+    tbl = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "s": pa.array([None if rng.random() < 0.1 else word() for _ in range(n)], pa.string()),
+        }
+    )
+    spark.createDataFrame(tbl).createOrReplaceTempView("tn")
+    got = spark.sql(
+        "SELECT id, trim(regexp_replace(regexp_replace(lower(s), "
+        "'[^a-z0-9 ]', ''), ' +', ' ')) AS norm FROM tn"
+    ).toPandas()
+    con = duckdb.connect()
+    try:
+        con.register("tn", tbl)
+        exp = con.execute(
+            "SELECT id, trim(regexp_replace(regexp_replace(lower(s), "
+            "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM tn"
+        ).df()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(exp), (seed, _canon(got), _canon(exp))
+
+
+# ---------------------------------------------------------------------------
 # 15. correlated scalar subqueries (q_subquery_correlated's shape): the
 #     decorrelation rewrite must preserve empty-group NULLs, NULL-key
 #     non-matches, and ties — fuzzed against DuckDB's independent planner
