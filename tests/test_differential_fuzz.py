@@ -46,6 +46,12 @@ def _norm_cell(v):
         return v
     if isinstance(v, (int, float)):
         return float(v)
+    # array-typed cells: Spark's toPandas yields numpy arrays / lists,
+    # DuckDB yields lists — normalize both to tuples for comparison
+    if hasattr(v, "tolist"):
+        return tuple(_norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
     return v
 
 
@@ -601,6 +607,72 @@ def test_string_semantics_boundaries(spark):
         con.close()
     assert row[0] == "σσ σ", row[0]  # codepoint-wise 'σσ σ'
     assert row[1] == "", row[1]
+
+
+# ---------------------------------------------------------------------------
+# 17. higher-order array functions: the Spark transform/filter/aggregate
+#     surface vs DuckDB's list_* family — the pairing the embedding/array
+#     oracles rely on. The NULL/empty semantics genuinely differ across
+#     engines (list_sum SKIPS null elements and returns NULL on empty;
+#     Spark's fold POISONS on null and returns the seed on empty), so the
+#     test pins the portable pairing: null-filter before folding on the
+#     Spark side, COALESCE on the DuckDB side.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_higher_order_array_pairs(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 25)
+    arrs = [
+        None
+        if rng.random() < 0.1
+        else [
+            None if rng.random() < 0.2 else rng.randint(-100, 100)
+            for _ in range(rng.randint(0, 8))
+        ]
+        for _ in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "arr": pa.array(arrs, pa.list_(pa.int64())),
+        }
+    )
+    spark.createDataFrame(tbl).createOrReplaceTempView("tha")
+    got = spark.sql(
+        """
+        SELECT id,
+               transform(arr, x -> x * 2) AS doubled,
+               filter(arr, x -> x > 0) AS pos,
+               CAST(aggregate(filter(arr, x -> x IS NOT NULL), 0L,
+                              (a, x) -> a + x) AS BIGINT) AS total,
+               sort_array(arr) AS sorted_asc,
+               CAST(size(arr) AS BIGINT) AS n_elems
+        FROM tha
+        """
+    ).toPandas()
+    con = duckdb.connect()
+    try:
+        con.register("tha", tbl)
+        exp = con.execute(
+            """
+            SELECT id,
+                   list_transform(arr, x -> x * 2) AS doubled,
+                   list_filter(arr, x -> x > 0) AS pos,
+                   CASE WHEN arr IS NULL THEN NULL
+                        ELSE COALESCE(CAST(list_sum(arr) AS BIGINT), 0) END AS total,
+                   -- Spark sort_array puts NULLs FIRST ascending; DuckDB
+                   -- list_sort defaults NULLS LAST unless told otherwise
+                   list_sort(arr, 'ASC', 'NULLS FIRST') AS sorted_asc,
+                   CAST(len(arr) AS BIGINT) AS n_elems
+            FROM tha
+            """
+        ).df()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(exp), (seed, _canon(got), _canon(exp))
 
 
 # ---------------------------------------------------------------------------
