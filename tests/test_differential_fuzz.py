@@ -610,6 +610,46 @@ def test_string_semantics_boundaries(spark):
 
 
 # ---------------------------------------------------------------------------
+# 18. ordered string aggregation (q_agg_listagg's shape): Spark
+#     listagg(x, sep) WITHIN GROUP (ORDER BY ...) vs DuckDB
+#     string_agg(x, sep ORDER BY ...) — deterministic only with a
+#     total-order key (value, then id), which is exactly what the
+#     declared query does; both engines skip NULL values
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_ordered_string_agg_pair(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    tbl = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "k": pa.array([rng.randint(0, 3) for _ in range(n)], pa.int64()),
+            "s": pa.array(
+                [None if rng.random() < 0.2 else rng.choice(["a", "b", "c", "aa"]) for _ in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+    spark.createDataFrame(tbl).createOrReplaceTempView("tla")
+    got = spark.sql(
+        "SELECT k, listagg(s, ',') WITHIN GROUP (ORDER BY s, id) AS cat "
+        "FROM tla GROUP BY k"
+    ).toPandas()
+    con = duckdb.connect()
+    try:
+        con.register("tla", tbl)
+        exp = con.execute(
+            "SELECT k, string_agg(s, ',' ORDER BY s, id) AS cat FROM tla GROUP BY k"
+        ).df()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(exp), (seed, _canon(got), _canon(exp))
+
+
+# ---------------------------------------------------------------------------
 # 17. higher-order array functions: the Spark transform/filter/aggregate
 #     surface vs DuckDB's list_* family — the pairing the embedding/array
 #     oracles rely on. The NULL/empty semantics genuinely differ across
