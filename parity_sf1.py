@@ -182,6 +182,33 @@ FV_QUERIES: tuple[str, ...] = (
     "q_dedup_fuzzy",
 )
 
+#: The ONLY oracled queries allowed to carry no sf1 parity row (round-9
+#: VERDICT item 5 — previously this set was named only in the committed
+#: record's meta string, so a new query could silently skip sf1 parity).
+#: Exclusion rationale (see the module docstring's coverage boundary):
+#: eight are row-identity per-row transforms with O(N)-row output whose
+#: arithmetic is magnitude-independent (scale changes row COUNT, not
+#: per-row values — the per-round sf0.1 gate already proves everything sf1
+#: could, while hashing millions of pandas rows costs hours);
+#: q_dedup_simhash's near-dup PAIR output is inflated quadratically by the
+#: derived fixture's 10x replicas (a fixture artifact — its cost bracket
+#: lives in SCALING.md). tests/test_plan_lint.py::test_sf1_parity_coverage
+#: asserts every other oracled query has an sf1 row, and that this set
+#: never grows (ratchet, same pattern as DIRECT_CAST_LEGACY): adding a
+#: name here fails the lint until the lint's pinned copy is consciously
+#: edited in the same commit.
+SF1_EXCLUDED: tuple[str, ...] = (
+    "q_dedup_simhash",
+    "q_json_extract",
+    "q_map_functions",
+    "q_math_scalars",
+    "q_scd2_intervals",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_window_lag",
+    "q_window_range",
+)
+
 SF10_DIR = os.path.join(HERE, ".scale", "sf10")
 
 #: .scale/sf10 replicates ONLY lineitem (10 key-shifted sf1 replicas);

@@ -70,14 +70,15 @@ ROUND-9 MIGRATION LEDGER — direct-cast sites still outstanding (each
 needs a DRIVER_WINDOW slot when its oracle text changes; magnitudes
 audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
 
-1. The ``sql_sum_direct`` shim sites (this module): 5 of 9 MIGRATED IN
-   ROUND 9 (q_agg_rollup, q_agg_grouping_sets, q_agg_salted on slots;
-   q_join_full, q_window_share riding their refresh slots).
-   q_join_salted's planned flip ceded its slot to the q_acf int64
-   overflow fix (timeseries.py — found by the round-9 sf1 extension
-   sweep). Remaining 4 — q_join_salted, q_join_outer, q_join_right,
-   q_tpch_q3_shipping — all <= ~3.5e12 scaled at sf1 (safe); migrate
-   with round-10 slots and DELETE the shims.
+1. The ``sql_sum_direct`` shim sites (this module): 8 of 9 MIGRATED —
+   5 in round 9 (q_agg_rollup, q_agg_grouping_sets, q_agg_salted on
+   slots; q_join_full, q_window_share riding their refresh slots), 3 in
+   round 10 on the planned slots (q_join_salted — its r9 slot was ceded
+   to the q_acf int64 overflow fix — q_join_outer, q_tpch_q3_shipping;
+   all <= ~3.5e12 scaled at sf1, so uniformity cleanups). Remaining 1:
+   q_join_right (same safe magnitude class as its q_join_outer mirror);
+   flips on a round-11 spare slot, after which BOTH shims are DELETED
+   from this module.
 2. Inline ``CAST(SUM(CAST(.. AS DECIMAL)) AS DOUBLE)`` with sf1-scale
    headroom < 2 orders — priority (the WHOLE 39-query DIRECT_CAST_LEGACY
    ratchet set was empirically parity-tested at sf1; results committed in
@@ -121,6 +122,23 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
    headroom, crosses near sf30). Low priority.
 4. Scaled-integer BIGINT outputs (``CAST(SUM(..) AS BIGINT)``) are exact
    by construction — no conversion ambiguity, audited, no action.
+5. (round 10, found by differential fuzzing — not a decimal-cast site but
+   recorded here as part of the cross-engine contract ledger) The
+   ``percentile()``/``quantile_cont()`` pairing has a TIE-BRACKET
+   boundary: on a distinct interpolation bracket both engines compute
+   the identical convex form lo*(1-f) + hi*f (bit-identical, pinned in
+   tests/test_differential_fuzz.py section 20), but when the cut lands
+   INSIDE a run of equal values v, Spark's counts-map shortcut returns v
+   exactly while DuckDB 1.0.0 still evaluates v*(1-f) + v*f — one ulp
+   off on ~5.7% of (v, f) pairs. Exposure needs the FIXTURE to put a
+   cut point inside an inexact tie run; tests/test_percentile_tie_audit.py
+   proves neither exposed pairing (q_percentile, q_outlier_mad) has such
+   a cut at sf0.01 / sf0.1 / sf1, so the committed greens are structural.
+   Migration path if a future fixture trips the audit: spell the oracle
+   as an explicit rank interpolation with Spark's tie shortcut
+   (CASE WHEN v_lo = v_hi THEN v_lo ELSE v_lo*(1-f) + v_hi*f END over
+   row_number()-ranked values) — needs a window slot like any oracle
+   rewrite.
 """
 
 from __future__ import annotations
@@ -170,17 +188,17 @@ def sql_avg(expr: str, scale: int = 6) -> str:
 
 
 def sql_sum_direct(expr: str, scale: int = 6) -> str:
-    """DEPRECATED pre-round-8 direct-cast form — round-9 migration pending.
+    """DEPRECATED pre-round-8 direct-cast form — ONE call site left.
 
     The string-routed ``sql_sum`` is the canonical semantics, but an oracle
     rewrite must hold a DRIVER_WINDOW adjudication slot in the same commit
     (tests/test_plan_lint.py::test_oracle_rewrite_requeues_adjudication).
-    Round 9 migrated 5 of the 9 call sites; the 4 remaining (q_join_salted,
-    q_join_outer, q_join_right, q_tpch_q3_shipping) keep this
-    byte-identical pre-round-8 oracle text for one more round — each is
-    safe at sf1 magnitudes (scaled sums >=2 orders below the 2^53
-    direct-cast divergence boundary). Round 10: migrate them with slots
-    and delete this shim.
+    Rounds 9-10 migrated 8 of the 9 call sites; only q_join_right
+    (relational2.py) keeps this byte-identical pre-round-8 oracle text for
+    one more round — safe at sf1 magnitudes (scaled sum >=2 orders below
+    the 2^53 direct-cast divergence boundary, same class as its migrated
+    q_join_outer mirror). Round 11: flip it on the planned spare slot and
+    DELETE this shim and ``sql_avg_direct`` in the same commit.
 
     Spark twins already use the string-routed ``exact_sum`` — in the safe
     range both forms produce the same correctly-rounded double, so mixing

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_avg, sql_sum, sql_sum_direct
+from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_avg, sql_sum
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.operators.core import top_k, top_k_per_group
 from sales_data_pipeline_gcp_spark.plans.registry import register
@@ -212,7 +212,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (
         SELECT o_custkey,
                COUNT(*) AS n_orders,
-               {sql_sum_direct('o_totalprice', 2)} AS spend
+               {sql_sum('o_totalprice', 2)} AS spend
         FROM orders GROUP BY o_custkey
     ) AS agg ON c_custkey = o_custkey
     """,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_sum, sql_sum_direct
+from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_sum
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -104,7 +104,7 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            MIN(flag_rows) AS flag_rows,
-           {sql_sum_direct('l_quantity', 2)} AS sum_qty
+           {sql_sum('l_quantity', 2)} AS sum_qty
     FROM lineitem JOIN dim ON l_returnflag = flag
     GROUP BY l_returnflag
     """,

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.functions.exact import dec, exact_sum, sql_sum, sql_sum_direct
+from sales_data_pipeline_gcp_spark.functions.exact import dec, exact_sum, sql_sum
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -70,7 +70,7 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_shipping",
     oracle=f"""
     SELECT l_orderkey,
-           {sql_sum_direct('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           {sql_sum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
            o_orderdate,
            o_orderpriority
     FROM customer

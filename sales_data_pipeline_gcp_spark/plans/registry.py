@@ -108,6 +108,129 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- round-10 rotation: executed exactly as the round-9 plan wrote it
+    # (the ROUND-10 ROTATION PLAN block archived below with
+    # _ROUND9_WINDOW_HISTORY, and round-9 VERDICT items 1-2). Slot
+    # accounting, 50/50, ZERO additions:
+    #   1  q_dedup_fuzzy at the HEAD — touched implementation late in
+    #      round 9 (khop precedent: same oracle, new plan): the
+    #      exact-duplicate pre-collapse makes the Levenshtein DP run once
+    #      per DISTINCT prefix pair (dedup.py); hash-green locally at
+    #      sf0.01/sf0.1/sf1 but the committed driver row predates the
+    #      plan.
+    #  46  the ENTIRE round-5-vintage oracled refresh backlog in
+    #      registration order (computed from the committed
+    #      CORRECTNESS_r01-r09 union: latest adjudication == round 5 —
+    #      49 queries sat at r5 entering round 9, minus q_graph_khop /
+    #      q_chisq_independence / q_ols_regression which held r9 slots).
+    #      At the round-11 commit an unrefreshed r5 row would be age
+    #      6 > K=5 and tests/test_plan_lint.py::
+    #      test_adjudication_freshness fails the suite; after this
+    #      window goes green no oracled query's latest adjudication is
+    #      older than round 6. TWELVE of these also carry
+    #      DIRECT_CAST_LEGACY oracles (q_cohort_ltv, q_decayed_avg,
+    #      q_join_bucketed, q_join_dpp, q_scan_orc, q_scan_pruned,
+    #      q_time_weighted_avg, q_timeseries_gapfill,
+    #      q_timeseries_interpolate, q_window_rolling_days,
+    #      q_winsorized_mean, q_wow_growth — all magnitude-safe, all
+    #      sf1-parity-tested in PARITY_SF1.json "legacy_direct_cast") —
+    #      left as-is this round: riding migrations on every refresh
+    #      slot would churn 12 more oracle texts in one commit; they
+    #      migrate on future refresh slots in ledger risk order (none
+    #      has a finite breach horizon below sf1e3).
+    #   3  sql_sum_direct shim migrations, oracle text flipped to the
+    #      string-routed sql_sum in this commit (the rewrite-requeue
+    #      lint grants each a slot here): q_join_salted (its r9 slot was
+    #      ceded to the q_acf int64-overflow emergency), q_join_outer,
+    #      q_tpch_q3_shipping. All three scaled sums are >=2 orders
+    #      below the 2^53 direct-cast divergence boundary at sf1, so the
+    #      flip is a uniformity cleanup, not a correctness fix. After
+    #      this window goes green only q_join_right still calls the
+    #      shim; it flips on a round-11 spare slot and the shim is then
+    #      DELETED from functions/exact.py.
+    "q_dedup_fuzzy",
+    # round-5-vintage refresh backlog (all of it), registration order
+    "q_dedup_minhash_stopshingle",
+    "q_dedup_prefix_filter",
+    "q_dedup_snm",
+    "q_dedup_containment",
+    "q_text_diversity",
+    "q_stream_ingest",
+    "q_multimodal_decode",
+    "q_scan_pruned",
+    "q_join_dpp",
+    "q_scan_orc",
+    "q_join_interval",
+    "q_agg_bitmap_distinct",
+    "q_window_ntile",
+    "q_window_cumedist",
+    "q_wow_growth",
+    "q_window_rolling_days",
+    "q_timeseries_gapfill",
+    "q_event_transitions",
+    "q_time_weighted_avg",
+    "q_gaps_islands",
+    "q_cohort_ltv",
+    "q_cumulative_users",
+    "q_event_paths",
+    "q_rolling_distinct_users",
+    "q_scd2_intervals",
+    "q_table_diff",
+    "q_sample_pps",
+    "q_pagerank",
+    "q_graph_triangles",
+    "q_dq_profile",
+    "q_outlier_mad",
+    "q_weighted_median",
+    "q_pareto_abc",
+    "q_ab_ttest",
+    "q_winsorized_mean",
+    "q_basket_lift",
+    "q_benford_digits",
+    "q_dq_linenumbers",
+    "q_zorder_layout",
+    "q_zorder_pruning",
+    "q_join_bucketed",
+    "q_bloom_prefilter",
+    "q_decayed_avg",
+    "q_timeseries_interpolate",
+    "q_events_anomaly",
+    "q_rolling_corr",
+    # the three shim migrations (oracle text changed in this commit)
+    "q_join_salted",
+    "q_join_outer",
+    "q_tpch_q3_shipping",
+)
+
+
+#: ROUND-11 ROTATION PLAN (written at the round-10 commit, assuming the
+#: r10 window goes green; slot accounting 47/50 — THREE spare slots):
+#:  45  the round-6-vintage ORACLED refresh backlog in registration
+#:      order — 47 queries sit at r6 after r10, minus rows-only
+#:      q_stream_dedup / q_stream_join (no refreshable hash evidence;
+#:      the freshness lint excludes them). At the round-12 commit an
+#:      unrefreshed r6 row is age 6 > K=5.
+#:   1  q_join_right — the last sql_sum_direct shim site (displaced from
+#:      r9 by the q_acf emergency, from r10 by slot accounting);
+#:      magnitude-safe flip, after which sql_sum_direct/sql_avg_direct
+#:      are DELETED from functions/exact.py in the same commit and the
+#:      DIRECT_CAST_LEGACY ratchet shrinks to the inline legacy set.
+#:   1  q_window_range — the inline-OVER direct cast the round-9
+#:      ratchet-regex widening surfaced (magnitude-safe per-customer
+#:      range-frame sums); string-route the OVER sum.
+#:   3  SPARE, filled in ledger risk order unless an emergency
+#:      (bollinger/acf precedent) displaces: (a) q_sql_revenue_by_nation
+#:      — the one dialect-neutral-text site with a finite breach horizon
+#:      (scale 4, ~3.5e14 at sf1, crosses near sf30; round-9 VERDICT
+#:      item 7); (b)+(c) the first two r6-adjacent DIRECT_CAST_LEGACY
+#:      refreshers whose migrations can ride (q_attribution and
+#:      q_scan_evolved are both r6-vintage AND legacy-set members — their
+#:      slots are already in the 45 above, so the spares go to the next
+#:      ledger rows: q_window_frame and q_stream_tumbling if their
+#:      vintage allows, else plain oldest-first refreshers).
+
+
+_ROUND9_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-9 rotation: executed exactly as the round-8 plan wrote it
     # (the ROUND-9 ROTATION PLAN block archived below with
     # _ROUND8_WINDOW_HISTORY, and round-8 VERDICT items 1-3), with the one
@@ -212,32 +335,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # shim batch.
     "q_acf",
 )
-
-
-#: ROUND-10 ROTATION PLAN (written at the round-9 commit, assuming the r9
-#: window goes green; slot accounting 50/50 after the q_acf emergency
-#: consumed round 9's slack):
-#:  46  the round-5-vintage refresh backlog in registration order — 49
-#:      queries sit at r5 today, minus q_graph_khop / q_chisq_independence
-#:      / q_ols_regression which hold r9 slots above. At the round-11
-#:      commit an unrefreshed r5 row is age 6 > K=5.
-#:   1  q_dedup_fuzzy — touched implementation late in round 9 (khop
-#:      precedent: same oracle, new plan): exact-duplicate pre-collapse
-#:      so the Levenshtein DP runs once per DISTINCT prefix pair
-#:      (dedup.py), verified hash-green at sf0.01/sf0.1/sf1 locally but
-#:      the driver row predates the plan.
-#:   3  sql_sum_direct shim migrations (q_join_salted — its r9 slot was
-#:      ceded to the q_acf overflow fix — q_join_outer,
-#:      q_tpch_q3_shipping); the displaced lowest-risk flip
-#:      (q_join_right) takes round 11's second spare slot, after which
-#:      the shim is DELETED from functions/exact.py and the ratchet
-#:      shrinks to the inline legacy set only.
-#:  q_window_range's string-route migration (the round-9 ratchet-regex
-#:  widening surfaced its inline-OVER direct cast; magnitude-safe) slides
-#:  to round 11, whose r6-vintage backlog (48) leaves two free slots
-#:  (q_window_range + the displaced q_join_right fill them). An emergency
-#:  (bollinger/acf precedent) outranks any of the above by displacing the
-#:  lowest-risk shim flip.
 
 
 _ROUND8_WINDOW_HISTORY: tuple[str, ...] = (

@@ -278,16 +278,16 @@ def test_coverage_count_in_sync():
 DIRECT_CAST_LEGACY = {
     "q_attribution",
     "q_cohort_ltv", "q_decayed_avg", "q_join_bucketed",
-    "q_join_dpp", "q_join_outer", "q_join_right",
-    # q_join_salted's round-9 flip was reverted mid-round: its slot went
-    # to the q_acf int64-overflow emergency (see registry.py); it
-    # migrates with the round-10 shim batch
-    "q_join_salted",
+    "q_join_dpp",
+    # the last sql_sum_direct shim site (q_join_outer / q_join_salted /
+    # q_tpch_q3_shipping migrated on round-10 slots); flips on a
+    # round-11 spare slot, after which the shim is deleted
+    "q_join_right",
     "q_kmeans_iter", "q_null_semantics",
     "q_scan_evolved", "q_scan_orc", "q_scan_pruned",
     "q_stream_tumbling", "q_subquery_scalar", "q_time_weighted_avg",
     "q_timeseries_gapfill", "q_timeseries_interpolate",
-    "q_tpch_q3_shipping", "q_window_frame",
+    "q_window_frame",
     # surfaced by the round-9 regex widening (inline OVER specs were
     # previously invisible to the ban): per-customer range-frame sums,
     # magnitude-safe (a single customer's scaled order total << 2^53);
@@ -322,3 +322,61 @@ def test_direct_decimal_cast_is_a_closed_set():
         f"{sorted(migrated)} no longer carry the direct cast — remove them "
         "from DIRECT_CAST_LEGACY to advance the ratchet"
     )
+
+
+#: Pinned copy of parity_sf1.SF1_EXCLUDED (round-9 VERDICT item 5). The
+#: duplication is the ratchet: silently appending to parity_sf1.SF1_EXCLUDED
+#: fails the equality check below until THIS copy is edited in the same
+#: commit — the same conscious-decision gate DIRECT_CAST_LEGACY uses.
+SF1_EXCLUDED_PINNED = {
+    "q_dedup_simhash",
+    "q_json_extract",
+    "q_map_functions",
+    "q_math_scalars",
+    "q_scd2_intervals",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_window_lag",
+    "q_window_range",
+}
+
+
+def test_sf1_parity_coverage():
+    """Every oracled query must carry an sf1 parity row in PARITY_SF1.json
+    or be a member of the pinned SF1_EXCLUDED set (row-identity O(N)-output
+    transforms + the simhash fixture artifact — rationale in parity_sf1.py).
+    Round-9 VERDICT item 5: the exclusion set previously lived only in the
+    committed record's meta string, so a NEW query could silently ship with
+    no sf1 evidence; this makes the gap structural."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from parity_sf1 import SF1_EXCLUDED
+
+    assert set(SF1_EXCLUDED) == SF1_EXCLUDED_PINNED, (
+        "parity_sf1.SF1_EXCLUDED diverged from the pinned lint copy — "
+        "an exclusion change must edit BOTH in one commit (ratchet): "
+        f"added={sorted(set(SF1_EXCLUDED) - SF1_EXCLUDED_PINNED)} "
+        f"removed={sorted(SF1_EXCLUDED_PINNED - set(SF1_EXCLUDED))}"
+    )
+    with open(os.path.join(root, "PARITY_SF1.json")) as f:
+        record = json.load(f)
+    have = set(record["queries"])
+    missing = sorted(
+        n for n, q in ALL.items() if q.oracle and n not in have and n not in SF1_EXCLUDED_PINNED
+    )
+    assert not missing, (
+        f"{len(missing)} oracled queries have neither an sf1 parity row nor "
+        f"an SF1_EXCLUDED membership: {missing} — run parity_sf1.py on them "
+        "(bounded output) or adjudicate an exclusion in parity_sf1.py AND "
+        "the pinned copy here"
+    )
+    # excluded names must stay real (a renamed query would leave a stale
+    # exclusion that silently covers nothing)
+    stale = sorted(n for n in SF1_EXCLUDED_PINNED if n not in ALL)
+    assert not stale, f"SF1_EXCLUDED names not in the registry: {stale}"
