@@ -236,10 +236,62 @@ def sf10_lineitem() -> None:
         )
 
 
+DENSE_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1dense")
+
+
+def sf1_dense() -> None:
+    """Derive the DEGREE-SATURATED graph decade the round-9 verdict asked
+    for (SCALING.md khop item): .scale/sf1dense/lineitem.parquet = 10
+    UNSHIFTED replicas of the sf0.1 lineitem (~6M rows), every other table
+    a symlink to the ORIGINAL sf0.1 fixtures. Keys collide by design:
+    entity counts (customers, suppliers, orders) stay at sf0.1 while every
+    (custkey, suppkey) trade edge carries 10x multiplicity — the opposite
+    extreme from .scale/sf1's key-shifted replicas (10x entities at
+    constant per-entity degree, TPC-H's own SF scaling). Measuring
+    q_graph_khop / q_graph_sssp on the (sf0.1 -> sf1) and
+    (sf0.1 -> sf1dense) decades separately attributes their cost growth:
+    the khop top-K edge set is IDENTICAL between sf0.1 and sf1dense
+    (same distinct (c, s) pairs, sums scaled 10x), so any dense-decade
+    cost is pure raw-input/first-shuffle volume, while the sf1 decade
+    adds real frontier growth. Valid ONLY for queries whose semantics
+    tolerate duplicate lineitem rows feeding an aggregation — the graph
+    pair reduces lineitem to trade sums before anything else."""
+    spark = get_spark("scale-fixtures-dense")
+    os.makedirs(DENSE_OUT, exist_ok=True)
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    parts = [li for _ in range(REPLICAS)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    dest = f"{DENSE_OUT}/lineitem.parquet"
+    out.write.mode("overwrite").parquet(dest)
+    print(f"lineitem: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+    for t in (
+        "region nation customer supplier part orders events documents embeddings".split()
+    ):
+        link = f"{DENSE_OUT}/{t}.parquet"
+        if not os.path.lexists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+    with open(f"{DENSE_OUT}/README.md", "w") as f:
+        f.write(
+            "DEGREE-SATURATED graph fixture: lineitem is 10 UNSHIFTED\n"
+            "replicas of sf0.1 (duplicate primary keys BY DESIGN: 10x edge\n"
+            "multiplicity at constant entity count); all other tables are\n"
+            "symlinks to the original sf0.1 fixtures. Valid ONLY for cost\n"
+            "measurement of queries that aggregate lineitem before any\n"
+            "semantic use of row identity (q_graph_khop / q_graph_sssp) —\n"
+            "NOT for correctness parity, and duplicate keys break any\n"
+            "query assuming lineitem uniqueness.\n"
+        )
+
+
 if __name__ == "__main__":
     if "--fresh-vocab" in sys.argv:
         fresh_vocab()
     elif "--sf10" in sys.argv:
         sf10_lineitem()
+    elif "--dense" in sys.argv:
+        sf1_dense()
     else:
         main()

@@ -204,6 +204,20 @@ def sf1_main(queries: list[str], sf1_dir: str) -> None:
         print(rows[0].removeprefix("SF1ROW "))
 
 
+#: degree-saturated graph decade (scale_fixtures.py --dense): 10x
+#: UNSHIFTED lineitem replicas over the ORIGINAL sf0.1 dims — constant
+#: entity count, 10x edge multiplicity. The khop/sssp top-K edge set is
+#: byte-identical to sf0.1 here, so the dense decade isolates raw-input /
+#: first-shuffle growth from the frontier growth the key-shifted sf1
+#: decade adds on top (round-9 VERDICT item 4; replaces the ill-posed
+#: sf1fv bracket recorded in SCALING.md).
+SF1DENSE_DIR = "/root/repo/.scale/sf1dense"
+SF1DENSE_QUERIES = [
+    "q_graph_khop",
+    "q_graph_sssp",
+]
+
+
 if __name__ == "__main__":
     import sys
 
@@ -213,5 +227,7 @@ if __name__ == "__main__":
         sf1_main(SF1_QUERIES if len(sys.argv) == 2 else sys.argv[2:], SF1_DIR)
     elif len(sys.argv) > 1 and sys.argv[1] == "--sf1fv":
         sf1_main(SF1FV_QUERIES if len(sys.argv) == 2 else sys.argv[2:], SF1FV_DIR)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sf1dense":
+        sf1_main(SF1DENSE_QUERIES if len(sys.argv) == 2 else sys.argv[2:], SF1DENSE_DIR)
     else:
         main()
