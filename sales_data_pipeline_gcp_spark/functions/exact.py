@@ -116,6 +116,21 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
      surfaced by the round-9 ratchet-regex widening): per-customer
      cumulative sums, magnitude-safe; migrates round 11 (round 10's
      spare went to the q_acf emergency's displaced shim flip).
+   - ROUND-10 RIDE BATCH: the 12 legacy oracles holding round-10
+     refresh slots (q_cohort_ltv, q_decayed_avg, q_join_bucketed,
+     q_join_dpp, q_scan_orc, q_scan_pruned, q_time_weighted_avg,
+     q_timeseries_gapfill, q_timeseries_interpolate,
+     q_window_rolling_days, q_winsorized_mean, q_wow_growth) were
+     string-routed BOTH SIDES mid-round 10, riding their slots (the
+     round-9 precedent). Notable: q_time_weighted_avg's cents x
+     nanoseconds product sums exceed 2^53 ALREADY at sf1 (~1e19 scaled)
+     — it was green only by measured int128->double agreement, the
+     q_agg_stats luck class; this batch retires that latent divergence.
+     Ratchet after the batch: 9 names (q_join_right shim flip +
+     q_window_range round 11; q_attribution, q_kmeans_iter,
+     q_null_semantics, q_scan_evolved, q_stream_tumbling,
+     q_subquery_scalar, q_window_frame audited magnitude-safe, riding
+     future refresh slots).
 3. ``spark.sql``-surface queries (sql_surface.py) execute ONE dialect-
    neutral text on both engines, so a single edit migrates both sides:
    q_sql_revenue_by_nation (scale 4, ~3.5e14 at sf1 — 1.4 orders of

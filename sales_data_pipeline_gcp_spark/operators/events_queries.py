@@ -209,7 +209,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                epoch_ns(ts) // {_NS_PER_DAY} AS day,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS day_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS day_value
         FROM events
         GROUP BY user_id, epoch_ns(ts) // {_NS_PER_DAY}
     )
@@ -218,10 +218,10 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY day
                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS events_3d,
-           CAST(SUM(CAST(day_value AS DECIMAL(38,2))) OVER (
+           CAST(CAST(SUM(CAST(day_value AS DECIMAL(38,2))) OVER (
                PARTITION BY user_id ORDER BY day
                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS value_3d
+           ) AS VARCHAR) AS DOUBLE) AS value_3d
     FROM daily
     """,
     doc="Event-time rolling aggregate (the trailing-N-days metric): daily "
@@ -255,7 +255,7 @@ def q_window_rolling_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "day_value",
         F.sum("n_events").over(w).alias("events_3d"),
-        F.sum(dec(F.col("day_value"), 2)).over(w).cast("double").alias("value_3d"),
+        F.sum(dec(F.col("day_value"), 2)).over(w).cast("string").cast("double").alias("value_3d"),
     )
 
 
@@ -266,7 +266,7 @@ def q_window_rolling_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                epoch_ns(ts) // {_NS_PER_DAY} AS day,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS day_mean
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS day_mean
         FROM events
         GROUP BY event_type, epoch_ns(ts) // {_NS_PER_DAY}
     ), bounds AS (
@@ -314,7 +314,7 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(
             F.count("*").alias("n_events"),
-            (F.sum(dec(F.col("value"), 2)).cast("double") / F.count("*")).alias("day_mean"),
+            (F.sum(dec(F.col("value"), 2)).cast("string").cast("double") / F.count("*")).alias("day_mean"),
         )
     )
     bounds = ev.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
@@ -404,8 +404,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_intervals,
            CAST(SUM(CAST(dt_ns AS DECIMAL(38,0))) AS BIGINT) AS held_ns,
-           CAST(SUM(CAST(value * 100 AS DECIMAL(38,0)) * CAST(dt_ns AS DECIMAL(38,0))) AS DOUBLE)
-             / (1e2 * CAST(SUM(CAST(dt_ns AS DECIMAL(38,0))) AS DOUBLE)) AS twap
+           CAST(CAST(SUM(CAST(value * 100 AS DECIMAL(38,0)) * CAST(dt_ns AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+             / (1e2 * CAST(CAST(SUM(CAST(dt_ns AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)) AS twap
     FROM held
     GROUP BY user_id
     """,
@@ -440,8 +440,8 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         F.sum(dec(F.col("dt_ns"), 0)).cast("bigint").alias("held_ns"),
         (
-            F.sum(dec(v_c, 0) * dec(F.col("dt_ns"), 0)).cast("double")
-            / (F.lit(1e2) * F.sum(dec(F.col("dt_ns"), 0)).cast("double"))
+            F.sum(dec(v_c, 0) * dec(F.col("dt_ns"), 0)).cast("string").cast("double")
+            / (F.lit(1e2) * F.sum(dec(F.col("dt_ns"), 0)).cast("string").cast("double"))
         ).alias("twap"),
     )
 
@@ -509,7 +509,7 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
            o.ym - c.cohort_ym AS month_offset,
            COUNT(DISTINCT o.o_custkey) AS n_customers,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM om o JOIN cohorts c ON o.o_custkey = c.o_custkey
     GROUP BY c.cohort_ym, o.ym - c.cohort_ym
@@ -528,7 +528,7 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "agg"),
 )
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sales_data_pipeline_gcp_spark.functions.exact import dec
+    from sales_data_pipeline_gcp_spark.functions.exact import exact_sum
 
     o = load(spark, sf_dir, "orders")
     ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
@@ -540,7 +540,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("o_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
-            F.sum(dec("o_totalprice", 2)).cast("double").alias("revenue"),
+            exact_sum("o_totalprice", 2).alias("revenue"),
         )
     )
 

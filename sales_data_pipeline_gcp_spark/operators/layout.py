@@ -329,7 +329,7 @@ _N_BUCKETS = 8
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -386,6 +386,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("string")
             .cast("double")
             .alias("sum_price"),
         )

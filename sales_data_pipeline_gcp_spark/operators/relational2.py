@@ -857,7 +857,7 @@ def q_window_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                  // 7 AS week,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                  AS revenue
         FROM orders GROUP BY 1
     )
@@ -880,13 +880,13 @@ def q_window_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from sales_data_pipeline_gcp_spark.functions.exact import dec
+    from sales_data_pipeline_gcp_spark.functions.exact import exact_sum
 
     o = load(spark, sf_dir, "orders")
     week = F.expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7")
     weekly = o.groupBy(week.alias("week")).agg(
         F.count("*").alias("n_orders"),
-        F.sum(dec("o_totalprice", 2)).cast("double").alias("revenue"),
+        exact_sum("o_totalprice", 2).alias("revenue"),
     )
     w = W.orderBy("week")
     prev = F.lag("revenue").over(w)

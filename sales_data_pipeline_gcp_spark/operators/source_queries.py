@@ -215,7 +215,7 @@ _PART_GLOB = f"{PART_DIR}/*/*.parquet"
     SELECT CAST(sale_month AS INTEGER) AS sale_month,
            product,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(total AS DECIMAL(38,2))) AS DOUBLE) AS sum_total
+           CAST(CAST(SUM(CAST(total AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_total
     FROM read_parquet('{_PART_GLOB}', hive_partitioning = true)
     WHERE CAST(sale_month AS INTEGER) IN {PRUNE_MONTHS}
       AND total IS NOT NULL
@@ -248,7 +248,7 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("total").cast("decimal(38,2)")).cast("double").alias("sum_total"),
+            F.sum(F.col("total").cast("decimal(38,2)")).cast("string").cast("double").alias("sum_total"),
         )
     )
 
@@ -273,7 +273,7 @@ _DIM_SQL = ", ".join(f"({m}, '{q}')" for m, q in _DIM_MONTHS)
     SELECT f.sale_month,
            d.quarter,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(f.total AS DECIMAL(38,2))) AS DOUBLE) AS sum_total
+           CAST(CAST(SUM(CAST(f.total AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_total
     FROM fact f
     JOIN dim d ON f.sale_month = d.month
     WHERE d.quarter = '{_QUARTER}'
@@ -306,7 +306,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sale_month", "quarter")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("total").cast("decimal(38,2)")).cast("double").alias("sum_total"),
+            F.sum(F.col("total").cast("decimal(38,2)")).cast("string").cast("double").alias("sum_total"),
         )
     )
 
@@ -393,7 +393,7 @@ ensure_orc_fixture()
     SELECT product,
            COUNT(*) AS n_rows,
            COUNT(total) AS n_total,
-           CAST(SUM(CAST(total AS DECIMAL(38,2))) AS DOUBLE) AS sum_total,
+           CAST(CAST(SUM(CAST(total AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_total,
            CAST(SUM(CAST(quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM read_parquet('{ORC_TWIN_PATH}')
     GROUP BY product
@@ -418,7 +418,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("product").agg(
         F.count("*").alias("n_rows"),
         F.count("total").alias("n_total"),
-        F.sum(F.col("total").cast("decimal(38,2)")).cast("double").alias("sum_total"),
+        F.sum(F.col("total").cast("decimal(38,2)")).cast("string").cast("double").alias("sum_total"),
         F.sum(F.col("quantity").cast("bigint")).alias("sum_qty"),
     )
 

@@ -740,9 +740,9 @@ WINSOR_HI_PCT = 95
     )
     SELECT r.l_returnflag, MIN(c.lo) AS lo_cut, MIN(c.hi) AS hi_cut,
            COUNT(*) AS n,
-           CAST(SUM(CAST(LEAST(GREATEST(r.price, c.lo), c.hi) * 100
-                         AS DECIMAL(38,0))) AS DOUBLE) / (1e2 * COUNT(*))
-             AS winsorized_mean
+           CAST(CAST(SUM(CAST(LEAST(GREATEST(r.price, c.lo), c.hi) * 100
+                              AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+             / (1e2 * COUNT(*)) AS winsorized_mean
     FROM ranked r JOIN cuts c ON r.l_returnflag = c.l_returnflag
     GROUP BY r.l_returnflag
     """,
@@ -788,7 +788,8 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hi").alias("hi_cut"),
             F.count("*").alias("n"),
             (
-                F.sum(dec(clamped * 100, 0)).cast("double") / (F.lit(1e2) * F.count("*"))
+                F.sum(dec(clamped * 100, 0)).cast("string").cast("double")
+                / (F.lit(1e2) * F.count("*"))
             ).alias("winsorized_mean"),
         )
     )

@@ -51,7 +51,7 @@ DECAY_HORIZON_DAYS = 18
     SELECT user_id,
            COUNT(*) AS n_recent,
            CAST(SUM(w) AS BIGINT) AS weight_sum,
-           CAST(SUM(CAST(value * 100 AS DECIMAL(38,0)) * w) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value * 100 AS DECIMAL(38,0)) * w) AS VARCHAR) AS DOUBLE)
              / (1e2 * CAST(SUM(w) AS DOUBLE)) AS decayed_avg
     FROM weighted
     GROUP BY user_id
@@ -87,7 +87,7 @@ def q_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_recent"),
         F.sum("w").alias("weight_sum"),
         (
-            F.sum(dec(F.col("value") * 100, 0) * F.col("w")).cast("double")
+            F.sum(dec(F.col("value") * 100, 0) * F.col("w")).cast("string").cast("double")
             / (F.lit(1e2) * F.sum("w").cast("double"))
         ).alias("decayed_avg"),
     )
@@ -99,7 +99,7 @@ def q_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT event_type,
                epoch_ns(ts) // {_NS_PER_DAY} AS day,
-               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS day_mean
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS day_mean
         FROM events
         GROUP BY event_type, epoch_ns(ts) // {_NS_PER_DAY}
     ), bounds AS (
@@ -159,7 +159,7 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.select("event_type", day.alias("day"), "value")
         .groupBy("event_type", "day")
-        .agg((F.sum(dec(F.col("value"), 2)).cast("double") / F.count("*")).alias("day_mean"))
+        .agg((F.sum(dec(F.col("value"), 2)).cast("string").cast("double") / F.count("*")).alias("day_mean"))
     )
     bounds = ev.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
     days = bounds.select(F.explode(F.sequence("dmin", "dmax")).alias("day"))

@@ -127,17 +127,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #      6 > K=5 and tests/test_plan_lint.py::
     #      test_adjudication_freshness fails the suite; after this
     #      window goes green no oracled query's latest adjudication is
-    #      older than round 6. TWELVE of these also carry
+    #      older than round 6. TWELVE of these also carried
     #      DIRECT_CAST_LEGACY oracles (q_cohort_ltv, q_decayed_avg,
     #      q_join_bucketed, q_join_dpp, q_scan_orc, q_scan_pruned,
     #      q_time_weighted_avg, q_timeseries_gapfill,
     #      q_timeseries_interpolate, q_window_rolling_days,
-    #      q_winsorized_mean, q_wow_growth — all magnitude-safe, all
-    #      sf1-parity-tested in PARITY_SF1.json "legacy_direct_cast") —
-    #      left as-is this round: riding migrations on every refresh
-    #      slot would churn 12 more oracle texts in one commit; they
-    #      migrate on future refresh slots in ledger risk order (none
-    #      has a finite breach horizon below sf1e3).
+    #      q_winsorized_mean, q_wow_growth — all magnitude-safe at the
+    #      shipped fixtures, all sf1-parity-tested in PARITY_SF1.json
+    #      "legacy_direct_cast"); their string-route migrations RIDE
+    #      these refresh slots (the round-9 precedent: 9 migrations rode
+    #      r9 refresh slots for free; the rewrite-requeue lint needs a
+    #      slot, not a SECOND slot). Both sides flipped in the same
+    #      mid-round-10 commit, re-proven by sf0.01/sf0.1 parity + an
+    #      sf1 refresh, ratchet 21 -> 9 — after which only q_join_right
+    #      (shim), q_window_range (inline OVER), and seven
+    #      magnitude-audited inline sites remain legacy. Worth naming:
+    #      q_time_weighted_avg's cents x nanoseconds products sum PAST
+    #      2^53 at sf1 (the same luck-class int128->double agreement
+    #      q_agg_stats had before round 9), so this batch retires a real
+    #      latent divergence, not just an idiom.
     #   3  sql_sum_direct shim migrations, oracle text flipped to the
     #      string-routed sql_sum in this commit (the rewrite-requeue
     #      lint grants each a slot here): q_join_salted (its r9 slot was

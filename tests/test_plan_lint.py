@@ -277,24 +277,26 @@ def test_coverage_count_in_sync():
 #: hash-green in PARITY_SF1.json as the tripwire.
 DIRECT_CAST_LEGACY = {
     "q_attribution",
-    "q_cohort_ltv", "q_decayed_avg", "q_join_bucketed",
-    "q_join_dpp",
     # the last sql_sum_direct shim site (q_join_outer / q_join_salted /
     # q_tpch_q3_shipping migrated on round-10 slots); flips on a
     # round-11 spare slot, after which the shim is deleted
     "q_join_right",
     "q_kmeans_iter", "q_null_semantics",
-    "q_scan_evolved", "q_scan_orc", "q_scan_pruned",
-    "q_stream_tumbling", "q_subquery_scalar", "q_time_weighted_avg",
-    "q_timeseries_gapfill", "q_timeseries_interpolate",
+    "q_scan_evolved",
+    "q_stream_tumbling", "q_subquery_scalar",
     "q_window_frame",
     # surfaced by the round-9 regex widening (inline OVER specs were
     # previously invisible to the ban): per-customer range-frame sums,
     # magnitude-safe (a single customer's scaled order total << 2^53);
-    # migrates on round 10's spare slot
+    # migrates on a round-11 spare slot
     "q_window_range",
-    "q_window_rolling_days",
-    "q_winsorized_mean", "q_wow_growth",
+    # the 12 round-5-vintage legacy oracles holding round-10 refresh
+    # slots (q_cohort_ltv, q_decayed_avg, q_join_bucketed, q_join_dpp,
+    # q_scan_orc, q_scan_pruned, q_time_weighted_avg,
+    # q_timeseries_gapfill, q_timeseries_interpolate,
+    # q_window_rolling_days, q_winsorized_mean, q_wow_growth) rode their
+    # slots to the string route mid-round-10 (the round-9 precedent:
+    # a migration rides its refresh slot for free) and left this set.
 }
 
 
