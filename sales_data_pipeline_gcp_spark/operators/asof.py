@@ -38,7 +38,12 @@ def asof_join(
     ``on`` key: ``backward`` = greatest ``right_time <= left_time``,
     ``forward`` = smallest ``right_time >= left_time`` (NULLs when no such
     row). ``right`` must be unique per (on, right_time) — dedup first for
-    determinism.
+    determinism. ``on`` must be NON-NULL on both sides: the window
+    partitionBy groups NULL keys into one partition (a NULL-key left row
+    would fill from a NULL-key right row) while SQL ASOF equality never
+    matches NULL — the divergence is pinned in
+    tests/test_differential_fuzz.py::test_asof_null_key_domain_boundary;
+    filter or coalesce nullable keys before calling.
 
     Both directions are the same union+running-fill composition; forward
     flips the side ordering (right rows sort AFTER left at equal times so

@@ -1211,3 +1211,135 @@ def test_percentile_tie_bracket_domain_boundary(spark):
     h = p * (n - 1)
     f = h - math.floor(h)
     assert exp == v * (1 - f) + v * f != v, (exp, v)  # DuckDB: drifted convex
+
+
+# ---------------------------------------------------------------------------
+# 21. the as-of join contract: the production union+window composition
+#     (operators/asof.py, used by all four q_join_asof* queries) vs
+#     DuckDB's NATIVE ASOF LEFT JOIN — fully independent implementations,
+#     so agreement here is semantics, not shared code. Adversarial
+#     surfaces: equal timestamps (the `<=`/`>=` inclusivity edge, decided
+#     by the composition's side-ordering trick), dense time ties, rows
+#     whose matched right VALUE is NULL (the row-atomic struct fill — a
+#     per-column fill would stitch fields from different right rows), and
+#     empty right partitions. Keys are NON-NULL by operator precondition:
+#     window partitionBy groups NULL keys together (they would fill from
+#     each other) while SQL equality never matches NULL — pinned
+#     deterministically in test_asof_null_key_domain_boundary below.
+# ---------------------------------------------------------------------------
+
+
+def _asof_tables(rng):
+    nl, nr = rng.randint(1, 40), rng.randint(0, 40)
+    lt = [rng.randint(0, 12) for _ in range(nl)]
+    seen = set()
+    rkt = []
+    for _ in range(nr):
+        kt = (rng.randint(0, 4), rng.randint(0, 12))
+        if kt not in seen:  # right side unique per (key, time) by contract
+            seen.add(kt)
+            rkt.append(kt)
+    left = pa.table(
+        {
+            "lid": pa.array(range(nl), pa.int64()),
+            "k": pa.array([rng.randint(0, 4) for _ in range(nl)], pa.int64()),
+            "lt": pa.array(lt, pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([k for k, _ in rkt], pa.int64()),
+            "rt": pa.array([t for _, t in rkt], pa.int64()),
+            # v is NULLABLE on matched rows — attacks the row-atomic fill
+            "v": pa.array(
+                [None if rng.random() < 0.3 else rng.randint(-999, 999) for _ in rkt],
+                pa.int64(),
+            ),
+            "rid": pa.array(range(100, 100 + len(rkt)), pa.int64()),
+        }
+    )
+    return left, right
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_asof_join_matches_native(spark, seed):
+    from sales_data_pipeline_gcp_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    left, right = _asof_tables(rng)
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for direction, op in (("backward", ">="), ("forward", "<=")):
+        got = _canon(
+            asof_join(
+                ldf, rdf, on="k", left_time="lt", right_time="rt",
+                right_cols=["v", "rid"], direction=direction,
+            )
+            .select("lid", "k", "lt", "v", "rid")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        try:
+            con.register("l", left)
+            con.register("r", right)
+            exp = _canon(
+                con.execute(
+                    f"""
+                    SELECT l.lid, l.k, l.lt, r.v, r.rid
+                    FROM l ASOF LEFT JOIN r
+                      ON l.k = r.k AND l.lt {op} r.rt
+                    """
+                ).df()
+            )
+        finally:
+            con.close()
+        assert got == exp, (seed, direction, got, exp)
+
+
+def test_asof_null_key_domain_boundary(spark):
+    """Deterministic pin of the NON-NULL-key precondition (the
+    test_cast_domain_boundary pattern): the composition's window
+    partitionBy groups NULL keys into ONE partition, so a NULL-key left
+    row fills from a NULL-key right row, while SQL ASOF equality never
+    matches NULL and yields a NULL fill. Every declared q_join_asof*
+    joins on event user_id (non-null by fixture contract); a future
+    caller passing nullable keys must filter or coalesce them first."""
+    from sales_data_pipeline_gcp_spark.operators.asof import asof_join
+
+    left = pa.table(
+        {
+            "lid": pa.array([0], pa.int64()),
+            "k": pa.array([None], pa.int64()),
+            "lt": pa.array([5], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([None], pa.int64()),
+            "rt": pa.array([1], pa.int64()),
+            "v": pa.array([42], pa.int64()),
+            "rid": pa.array([100], pa.int64()),
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="k", left_time="lt", right_time="rt",
+            right_cols=["v", "rid"], direction="backward",
+        )
+        .select("v")
+        .collect()[0]["v"]
+    )
+    con = duckdb.connect()
+    try:
+        con.register("l", left)
+        con.register("r", right)
+        exp = con.execute(
+            "SELECT r.v FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lt >= r.rt"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    # the two semantics DIFFER here by design — the pin documents the edge
+    assert got == 42, got      # window composition: NULL keys group together
+    assert exp is None, exp    # SQL equality: NULL never matches
