@@ -218,6 +218,11 @@ _LOG_LINE_SQL = (
 _LOG_METHOD_RE = '"([A-Z]+) '
 _LOG_USER_RE = "u=([0-9]+)"
 _LOG_STATUS_RE = '" ([0-9]+) '
+#: the ONE $-anchored pattern in the package: Java '$' matches before a
+#: FINAL line terminator, RE2 '$' only at end-of-text (divergence pinned
+#: in tests/test_differential_fuzz.py::test_dollar_anchor_domain_boundary)
+#: — safe here because _LOG_LINE_SQL emits no newlines; any $-anchored
+#: extraction over free text must strip trailing newlines first.
 _LOG_BYTES_RE = " ([0-9]+)$"
 
 

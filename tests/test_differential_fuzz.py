@@ -1343,3 +1343,186 @@ def test_asof_null_key_domain_boundary(spark):
     # the two semantics DIFFER here by design — the pin documents the edge
     assert got == 42, got      # window composition: NULL keys group together
     assert exp is None, exp    # SQL equality: NULL never matches
+
+
+# ---------------------------------------------------------------------------
+# 22. the PII redaction regex triple (q_text_redact's production contract):
+#     Spark regexp_count/regexp_replace (Java regex) vs DuckDB
+#     len(regexp_extract_all)/regexp_replace('g') (RE2) over ADVERSARIAL
+#     strings — near-miss emails, URLs with trailing punctuation/newlines,
+#     digit runs longer than the phone shape, adjacent matches, Unicode
+#     confusables, and pattern hits at string edges. The patterns were
+#     designed into the Java/RE2 common subset; this fuzzes that design
+#     claim instead of trusting it.
+# ---------------------------------------------------------------------------
+
+_PII_FRAGMENTS = (
+    "bob@example.com", "a@b.co", "x.y_z%+-@sub.domain.org", "@nope.com",
+    "a@b", "a@b.c", "user@@host.com", "tail@dom.ai.", "ｂｏｂ＠ex.com",
+    "https://ex.org/p?q=1", "http://x", "https://", "https://a b",
+    "https://trail.example/,next", "HTTPS://upper.example",
+    "555-0100", "1234-5678", "12-3456", "555-01000", "١٢٣-٤٥٦٧",
+    "plain words", "éüñ", "数字１２３", ",.;:!?", "   ", "a-b_c%d+e",
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_pii_regex_pair(spark, seed):
+    from sales_data_pipeline_gcp_spark.operators.text import (
+        PII_EMAIL, PII_PHONE, PII_URL,
+    )
+
+    rng = random.Random(seed)
+    texts = [
+        " ".join(rng.choice(_PII_FRAGMENTS) for _ in range(rng.randint(0, 8)))
+        # edge placements: no separator, leading/trailing hit
+        + rng.choice(["", rng.choice(_PII_FRAGMENTS), " " + rng.choice(_PII_FRAGMENTS)])
+        for _ in range(rng.randint(1, 25))
+    ]
+    tbl = pa.table(
+        {"id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    spark.createDataFrame(tbl).createOrReplaceTempView("fp2")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    got = _canon(
+        spark.table("fp2")
+        .select(
+            "id",
+            F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+            F.regexp_count("text", F.lit(PII_URL)).cast("long").alias("n_urls"),
+            F.regexp_count("text", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fp2", tbl)
+        exp = _canon(
+            con.execute(
+                f"""
+                SELECT id,
+                       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+                       CAST(len(regexp_extract_all(text, '{PII_URL}'))   AS BIGINT) AS n_urls,
+                       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '{PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{PII_URL}', '<URL>', 'g'),
+                           '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+                FROM fp2
+                """
+            ).df()
+        )
+    finally:
+        con.close()
+    assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 23. the log-parse extraction quartet (q_parse_logs' production contract):
+#     regexp_extract group-1 over Java regex vs RE2, including the
+#     NO-MATCH '' convention both engines share. Lines are mutated —
+#     reordered fields, missing sections, doubled quotes, huge numbers —
+#     so extraction must agree on partial/absent matches, not just the
+#     happy path. Trailing-newline inputs are EXCLUDED here: Java '$'
+#     matches before a final line terminator while RE2's matches only at
+#     end-of-text — a real divergence of the anchor contract, pinned in
+#     test_dollar_anchor_domain_boundary below; the production generator
+#     builds lines with no newlines, so the declared query sits inside
+#     the safe domain.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_log_parse_regex_pair(spark, seed):
+    from sales_data_pipeline_gcp_spark.operators.scalars import (
+        _LOG_BYTES_RE, _LOG_METHOD_RE, _LOG_STATUS_RE, _LOG_USER_RE,
+    )
+
+    rng = random.Random(seed)
+
+    def line():
+        method = rng.choice(["GET", "POST", "PUT", "DELETE", "get", "G3T", ""])
+        parts = [
+            f"10.{rng.randint(0,255)}.0.1 - - [01/Jan/1996:00:00:00]",
+            f'"{method} /orders/{rng.randint(0,10**9)}?u={rng.randint(0,10**6)} HTTP/1.1"',
+            str(rng.choice([200, 302, 404, 99999999999999999999])),
+            str(rng.randint(0, 10**12)),
+        ]
+        rng.random() < 0.2 and parts.pop(rng.randrange(len(parts)))
+        if rng.random() < 0.2:
+            rng.shuffle(parts)
+        s = " ".join(parts)
+        if rng.random() < 0.2:
+            s += rng.choice([' "EXTRA"', " 123abc", " -"])
+        return s
+
+    lines = [line() for _ in range(rng.randint(1, 30))]
+    tbl = pa.table(
+        {"id": pa.array(range(len(lines)), pa.int64()), "line": pa.array(lines, pa.string())}
+    )
+    spark.createDataFrame(tbl).createOrReplaceTempView("fl")
+    got = _canon(
+        spark.table("fl")
+        .select(
+            "id",
+            F.regexp_extract("line", _LOG_METHOD_RE, 1).alias("method"),
+            F.regexp_extract("line", _LOG_STATUS_RE, 1).alias("status"),
+            F.regexp_extract("line", _LOG_USER_RE, 1).alias("user_id"),
+            F.regexp_extract("line", _LOG_BYTES_RE, 1).alias("n_bytes"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fl", tbl)
+        exp = _canon(
+            con.execute(
+                f"""
+                SELECT id,
+                       regexp_extract(line, '{_LOG_METHOD_RE}', 1) AS method,
+                       regexp_extract(line, '{_LOG_STATUS_RE}', 1) AS status,
+                       regexp_extract(line, '{_LOG_USER_RE}', 1)   AS user_id,
+                       regexp_extract(line, '{_LOG_BYTES_RE}', 1)  AS n_bytes
+                FROM fl
+                """
+            ).df()
+        )
+    finally:
+        con.close()
+    assert got == exp, (seed, got, exp)
+
+
+def test_dollar_anchor_domain_boundary(spark):
+    """Deterministic pin of the '$' anchor divergence (the
+    test_cast_domain_boundary pattern): Java regex '$' (Spark) matches
+    before a FINAL line terminator, RE2 '$' (DuckDB) only at end-of-text,
+    so ' ([0-9]+)$' extracts '123' from 'x 123\\n' in Spark and nothing in
+    DuckDB. Production consequence: any $-anchored extraction over text
+    that may carry a trailing newline must strip it first (the
+    q_parse_logs generator emits no newlines, so the declared query is
+    inside the safe domain — asserted by the oracle parity suite)."""
+    s = "x 123\n"
+    pat = " ([0-9]+)$"
+    got = (
+        spark.range(1)
+        .select(F.regexp_extract(F.lit(s), pat, 1).alias("g"))
+        .collect()[0]["g"]
+    )
+    con = duckdb.connect()
+    try:
+        exp = con.execute(
+            "SELECT regexp_extract(?, ' ([0-9]+)$', 1)", [s]
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert got == "123", got  # Java: $ matches before the final newline
+    assert exp == "", exp     # RE2: $ is end-of-text only
