@@ -19,6 +19,16 @@ A future fixture that trips this audit needs the tie-robust oracle
 spelling (rank the sorted values in SQL and apply Spark's tie shortcut
 explicitly) before it can ship — the audit failing IS that signal, the
 same pattern as the round-9 CAST domain audit in functions/exact.py.
+
+Scale nuance (measured one-off at sf10, round 10): at 60M lineitem rows
+8 of q_percentile's 9 cut points DO land inside tie runs — the tie half
+of the condition is routine at scale — but the convex form stays exact
+there because the 10x-replica fixtures produce group sizes where
+p*(n-1) yields a DYADIC fraction (f in {0.25, 0.5, 0.75}), and
+v*(1-f) + v*f is exact for dyadic f. A production corpus with arbitrary
+group sizes gets arbitrary f, so the tie-robust oracle spelling is the
+right migration whenever a percentile query graduates to data without
+this fixture structure.
 """
 
 from __future__ import annotations
