@@ -1526,3 +1526,58 @@ def test_dollar_anchor_domain_boundary(spark):
         con.close()
     assert got == "123", got  # Java: $ matches before the final newline
     assert exp == "", exp     # RE2: $ is end-of-text only
+
+
+# ---------------------------------------------------------------------------
+# 24. the positional-bitmap distinct-count pattern (BITMAP_WORD=63 words,
+#     bit_or of shifted bits — the q_agg_bitmap_distinct oracle idiom and
+#     the round-8 q_graph_khop 2-hop rewrite): fuzzed as the SAME SQL on
+#     both engines over adversarial id sets — ids ON the 62/63/64 word
+#     boundaries, id 0, dense runs crossing words, duplicates — and
+#     cross-checked against plain COUNT(DISTINCT) as ground truth. A
+#     word-size or shift-semantics mistake (63 vs 64, signed bit 63,
+#     engine-specific << behavior) shows up as a bit lost or doubled on
+#     exactly these inputs. Also exercises the khop 2-hop shape: bitmap
+#     distinct of JOIN-derived neighbor ids vs COUNT(DISTINCT) over the
+#     same join.
+# ---------------------------------------------------------------------------
+
+#: portable integer division (Spark has `div`, DuckDB has `//` — no shared
+#: spelling): FLOOR(id/63.0) is exact while id < 2^52, which the generator
+#: respects (max id 2^40). The production oracles run on DuckDB alone and
+#: use `//`; only this same-text-both-engines harness needs the float form.
+_BITMAP_SQL = """
+    WITH words AS (
+        SELECT k, CAST(FLOOR(id / 63.0) AS BIGINT) AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(id % 63 AS INTEGER)) AS bits
+        FROM fb GROUP BY k, CAST(FLOOR(id / 63.0) AS BIGINT)
+    ), bitmap AS (
+        SELECT k, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bitmap FROM words GROUP BY k
+    ), exact AS (
+        SELECT k, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_exact FROM fb GROUP BY k
+    )
+    SELECT b.k, b.n_bitmap, e.n_exact
+    FROM bitmap b JOIN exact e ON b.k = e.k
+"""
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_bitmap_distinct_pattern(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 200)
+    boundary = [0, 1, 62, 63, 64, 125, 126, 127, 63 * 10**6 - 1, 63 * 10**6, 2**40]
+    ids = [
+        rng.choice(boundary) if rng.random() < 0.4 else rng.randint(0, 10**7)
+        for _ in range(n)
+    ]
+    ks = [rng.randint(0, 3) for _ in range(n)]
+    tbl = pa.table({"k": pa.array(ks, pa.int64()), "id": pa.array(ids, pa.int64())})
+    got, exp = _both(spark, _BITMAP_SQL, {"fb": tbl})
+    assert got == exp, (seed, got, exp)
+    # and the pattern is CORRECT, not just cross-engine-identical:
+    # bitmap count == exact distinct per group (both engines agree, so
+    # checking one canonicalized result suffices)
+    for row in got:
+        k, n_bitmap, n_exact = row
+        assert n_bitmap == n_exact, (seed, k, n_bitmap, n_exact)
