@@ -1581,3 +1581,72 @@ def test_bitmap_distinct_pattern(spark, seed):
     for row in got:
         k, n_bitmap, n_exact = row
         assert n_bitmap == n_exact, (seed, k, n_bitmap, n_exact)
+
+
+# ---------------------------------------------------------------------------
+# 25. the warehouse merge-family shapes (q_cdc_apply / q_scd2_intervals /
+#     q_survivorship): last-writer-wins compaction with tombstones, SCD2
+#     validity-interval derivation, and priority survivorship — all
+#     dialect-neutral windowed SQL run as the SAME text on both engines
+#     over RANDOM change logs with heavy timestamp ties (the unique-id
+#     tiebreak is what makes same-instant races deterministic; fuzzing
+#     ties is fuzzing that claim), NULL values surviving into snapshots,
+#     tombstone-last keys, and single-event keys.
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = {
+    "cdc_compact": """
+        WITH ranked AS (
+            SELECT key, change_id, value, op,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                                      ORDER BY changed_at DESC, change_id DESC) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_changes
+            FROM log
+        )
+        SELECT key, change_id AS last_change_id, value, n_changes
+        FROM ranked WHERE rn = 1 AND op = 'U'""",
+    "scd2_intervals": """
+        SELECT key, change_id, value,
+               changed_at AS valid_from,
+               LEAD(changed_at) OVER (PARTITION BY key
+                                      ORDER BY changed_at, change_id) AS valid_to,
+               CASE WHEN LEAD(changed_at) OVER (PARTITION BY key
+                                      ORDER BY changed_at, change_id) IS NULL
+                    THEN TRUE ELSE FALSE END AS is_current
+        FROM log""",
+    "survivorship": """
+        WITH scored AS (
+            SELECT key, change_id, value, op,
+                   CASE op WHEN 'U' THEN 2 ELSE 1 END AS quality,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                                      ORDER BY CASE op WHEN 'U' THEN 2 ELSE 1 END DESC,
+                                               changed_at DESC, change_id DESC) AS rn
+            FROM log
+        )
+        SELECT key, change_id AS golden_id, value, quality FROM scored WHERE rn = 1""",
+}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_merge_family_shapes(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 60)
+    ids = list(range(n))
+    rng.shuffle(ids)  # change_id unique but uncorrelated with time
+    tbl = pa.table(
+        {
+            "key": pa.array([rng.randint(0, 5) for _ in range(n)], pa.int64()),
+            "change_id": pa.array(ids, pa.int64()),
+            # heavy ties: only 4 distinct instants
+            "changed_at": pa.array([rng.randint(0, 3) for _ in range(n)], pa.int64()),
+            "value": pa.array(
+                [None if rng.random() < 0.2 else rng.randint(-999, 999) for _ in range(n)],
+                pa.int64(),
+            ),
+            "op": pa.array([rng.choice(["U", "U", "D"]) for _ in range(n)], pa.string()),
+        }
+    )
+    for shape, sql in _MERGE_SQL.items():
+        got, exp = _both(spark, sql, {"log": tbl})
+        assert got == exp, (seed, shape, got, exp)
