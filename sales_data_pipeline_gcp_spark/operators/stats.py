@@ -883,8 +883,17 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Benford expected first-digit shares log10(1 + 1/d) as FIXED literals —
-#: hardcoded (not computed) so no engine ever evaluates a transcendental;
-#: both engines parse the identical decimal token to the identical double.
+#: hardcoded (not computed) so no engine ever evaluates a transcendental.
+#: Spark receives them as Python floats (exact doubles); the ORACLE routes
+#: each token through CAST('<token>' AS DOUBLE) because DuckDB types a bare
+#: 17-fractional-digit literal DECIMAL(18,17) and its decimal->double
+#: conversion pre-rounds the int64 unscaled value past 2^53 (the
+#: string->double path is correctly rounded at any length) — five of these
+#: nine tokens have 17 digits and previously converted exactly only
+#: because their unscaled values happened to be EVEN (representable at
+#: ulp 2). Boundary pinned in tests/test_differential_fuzz.py::
+#: test_decimal_literal_quantile_domain_boundary; bare long literals are
+#: now lint-banned in oracle text (test_plan_lint.py).
 BENFORD_EXPECTED = {
     1: 0.3010299956639812,
     2: 0.17609125905568124,
@@ -898,7 +907,7 @@ BENFORD_EXPECTED = {
 }
 
 _BENFORD_CASE_SQL = "CASE digit " + " ".join(
-    f"WHEN {d} THEN {v!r}" for d, v in BENFORD_EXPECTED.items()
+    f"WHEN {d} THEN CAST('{v!r}' AS DOUBLE)" for d, v in BENFORD_EXPECTED.items()
 ) + " END"
 
 
@@ -928,7 +937,9 @@ _BENFORD_CASE_SQL = "CASE digit " + " ".join(
     "as nine literal doubles so both engines parse the identical token "
     "— no transcendental is ever EVALUATED in either engine. The "
     "SUM() OVER () total runs over nine rows. One map-side-combined "
-    "digit agg; at 100 TB nothing but the scan grows.",
+    "digit agg; at 100 TB nothing but the scan grows. The oracle "
+    "string-routes each literal (see BENFORD_EXPECTED) so DuckDB's "
+    "decimal-literal typing can never pre-round a token past 2^53.",
     tags=("stats", "agg"),
 )
 def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:

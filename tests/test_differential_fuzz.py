@@ -1161,10 +1161,17 @@ def test_percentile_ties_and_lattice_probabilities(spark, seed):
     con = duckdb.connect()
     try:
         con.register("ft", tbl)
+        # p goes to DuckDB as a BOUND parameter (a true DOUBLE): an SQL
+        # literal with >=17 fractional digits is typed DECIMAL(18,17),
+        # whose int64 unscaled value exceeds 2^53 and PRE-ROUNDS in the
+        # decimal->double conversion — the lattice probes would then test
+        # literal typing, not the interpolation formula. That literal
+        # boundary is pinned separately in
+        # test_decimal_literal_quantile_domain_boundary.
         exp = {
             k: q
             for k, q in con.execute(
-                f"SELECT k, quantile_cont(v, {p!r}) AS q FROM ft GROUP BY k"
+                "SELECT k, quantile_cont(v, ?) AS q FROM ft GROUP BY k", [p]
             ).fetchall()
         }
     finally:
@@ -1650,3 +1657,51 @@ def test_merge_family_shapes(spark, seed):
     for shape, sql in _MERGE_SQL.items():
         got, exp = _both(spark, sql, {"log": tbl})
         assert got == exp, (seed, shape, got, exp)
+
+
+def test_decimal_literal_quantile_domain_boundary(spark):
+    """Deterministic pin of the DECIMAL-LITERAL pre-rounding boundary
+    (found when the tie fuzzer's lattice probes disagreed with the convex
+    reference ONLY via literals): DuckDB types an SQL numeric literal
+    with d fractional digits as DECIMAL(18,d); its decimal->double
+    conversion goes through the int64 UNSCALED value, which past 2^53
+    (d >= 17 for 0.x literals) pre-rounds — so
+    quantile_cont(v, 0.48000000000000004) behaves as q = 0.48 exactly,
+    while the same value bound as a DOUBLE parameter is faithful. The
+    same >2^53 integer->double single-rounding class as the
+    functions/exact.py sum ledger, surfacing in literal TYPING. The
+    repo-wide rule (linted:
+    tests/test_plan_lint.py::test_oracle_decimal_literals_inside_2pow53)
+    is that oracle fractional literals stay <= 16 significant fractional
+    digits; every production literal is a short form (0.25 / 0.5 / 0.75
+    class; the longest, q_benford_digits' 0.3010299956639812 at 16
+    digits, has unscaled ~3.0e15 < 2^53 and converts exactly)."""
+    p_long = 0.48000000000000004
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t AS SELECT CAST(range AS DOUBLE) AS v FROM range(25)"
+        )
+        lit = con.execute(f"SELECT quantile_cont(v, {p_long!r}) FROM t").fetchone()[0]
+        bound = con.execute("SELECT quantile_cont(v, ?) FROM t", [p_long]).fetchone()[0]
+        conv = con.execute(
+            f"SELECT CAST({p_long!r} AS DOUBLE), typeof({p_long!r})"
+        ).fetchone()
+    finally:
+        con.close()
+    assert conv[1] == "DECIMAL(18,17)", conv
+    assert conv[0] == 0.48, conv           # pre-rounded: tail digits lost
+    assert lit == 11.52, lit               # literal path: q behaves as 0.48
+    assert bound == 11.520000000000001, bound  # bound DOUBLE: faithful convex
+    # Spark types the same literal DECIMAL(17,17) too — but ITS
+    # decimal->double is BigDecimal.doubleValue (correctly rounded from
+    # the exact value, no int64 pre-round), so the faithful double comes
+    # back: in a SHARED text the two engines diverge purely by literal
+    # conversion. Same asymmetry as the sum ledger's direct-cast class.
+    row = spark.sql(
+        f"SELECT {p_long!r} AS p, CAST({p_long!r} AS DOUBLE) AS pd"
+    ).collect()[0]
+    from decimal import Decimal as _D
+
+    assert row["p"] == _D("0.48000000000000004"), row  # exact decimal
+    assert row["pd"] == p_long, row                    # faithful double

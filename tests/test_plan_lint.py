@@ -382,3 +382,34 @@ def test_sf1_parity_coverage():
     # exclusion that silently covers nothing)
     stale = sorted(n for n in SF1_EXCLUDED_PINNED if n not in ALL)
     assert not stale, f"SF1_EXCLUDED names not in the registry: {stale}"
+
+
+def test_oracle_decimal_literals_inside_2pow53():
+    """No oracle may embed a fractional numeric literal with >= 17
+    significant fractional digits: DuckDB types it DECIMAL(18,d) and its
+    decimal->double conversion goes through the int64 UNSCALED value,
+    which past 2^53 pre-rounds the tail digits away (measured:
+    quantile_cont(v, 0.48000000000000004) behaves as q = 0.48), while
+    Spark's BigDecimal conversion is exact — a shared oracle text would
+    diverge purely by literal typing. Pinned in
+    tests/test_differential_fuzz.py::test_decimal_literal_quantile_domain_boundary.
+    The longest production literal (q_benford_digits, 16 fractional
+    digits, unscaled ~3.0e15) is one order inside the boundary."""
+    import re as _re
+
+    # the lookbehind skips string-routed literals (CAST('0.17...' AS
+    # DOUBLE) — string->double is correctly rounded at any length) and
+    # keeps the scan from starting inside a quoted literal's own digits
+    pat = _re.compile(r"(?<!['\d.])\d*\.\d{17,}")
+    offenders = {
+        name: m.group(0)
+        for name, q in ALL.items()
+        if q.oracle
+        for m in [pat.search(q.oracle)]
+        if m
+    }
+    assert not offenders, (
+        f"oracle fractional literals with >=17 digits (DuckDB DECIMAL "
+        f"pre-rounding past 2^53): {offenders} — shorten the literal or "
+        "bind it via a dialect-exact form"
+    )
