@@ -1705,3 +1705,53 @@ def test_decimal_literal_quantile_domain_boundary(spark):
 
     assert row["p"] == _D("0.48000000000000004"), row  # exact decimal
     assert row["pd"] == p_long, row                    # faithful double
+
+
+# ---------------------------------------------------------------------------
+# 26. integer division / modulo across signs: every epoch computation in
+#     the repo pairs Spark `div` with DuckDB `//` (and `%` with `%`).
+#     Both engines truncate toward zero and give `%` the dividend's sign
+#     (probed: -7 div 2 = -7//2 = -3, -7 % 2 = -1 in both), so the
+#     pairing is exact even for NEGATIVE operands (pre-1970 epochs) —
+#     this fuzz pins that agreement so a future engine version changing
+#     `//` to floor division (the Python semantics!) fails loudly here
+#     instead of silently shifting every pre-epoch day bucket.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_integer_div_mod_sign_pairing(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 80)
+    a = [rng.choice([1, -1]) * rng.randint(0, 2**62) for _ in range(n)]
+    b = [rng.choice([1, -1]) * rng.choice([1, 2, 7, 63, 86_400, 86_400_000_000_000])
+         for _ in range(n)]
+    tbl = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+        }
+    )
+    spark.createDataFrame(tbl).createOrReplaceTempView("fd")
+    got = _canon(
+        spark.sql("SELECT id, a div b AS q, a % b AS r FROM fd").toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fd", tbl)
+        exp = _canon(con.execute("SELECT id, a // b AS q, a % b AS r FROM fd").df())
+    finally:
+        con.close()
+    assert got == exp, (seed, got, exp)
+    # and the contract is the truncating one (documented, not assumed)
+    for i in range(n):
+        # exact trunc-toward-zero reference (float division would lose
+        # precision at 2^62)
+        q = abs(a[i]) // abs(b[i])
+        if (a[i] < 0) != (b[i] < 0):
+            q = -q
+        r = a[i] - q * b[i]
+        row = [t for t in got if t[0] == float(i)][0]
+        assert row[1] == float(q) and row[2] == float(r), (seed, i, a[i], b[i], row)
