@@ -1755,3 +1755,63 @@ def test_integer_div_mod_sign_pairing(spark, seed):
         r = a[i] - q * b[i]
         row = [t for t in got if t[0] == float(i)][0]
         assert row[1] == float(q) and row[2] == float(r), (seed, i, a[i], b[i], row)
+
+
+# ---------------------------------------------------------------------------
+# 27. discrete order statistics: the q_window_median pairing generalized —
+#     Spark element_at(sort_array(collect_list(v)), k) vs DuckDB
+#     QUANTILE_DISC(v, q). Probing pinned DuckDB's index rule as
+#     ceil(q*n) - 1 (0-based): the smallest element whose cumulative
+#     fraction >= q. The production query uses q=0.5 over an ODD full
+#     window where every candidate rule coincides; this fuzz pins the
+#     general rule over even sizes, ties, NULLs, lattice-adjacent q
+#     (q*n within one ulp of an integer — where a different internal
+#     index computation would diverge), and q = 0/1 exactly. q is bound
+#     as a DOUBLE parameter (see section 20's literal-typing note).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_quantile_disc_pairing(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 120)
+    domain = sorted({rng.randint(-10**6, 10**6) for _ in range(rng.randint(1, 5))})
+    vs = [None if rng.random() < 0.15 else rng.choice(domain) for _ in range(n)]
+    ks = [i % 3 for i in range(n)]
+    counts = {}
+    for g, v in zip(ks, vs):
+        if v is not None:
+            counts[g] = counts.get(g, 0) + 1
+    m = max(counts.values(), default=1)
+    lattice = []
+    if m:
+        j = rng.randint(1, m)
+        exact = j / m
+        lattice = [exact, math.nextafter(exact, 0.0), math.nextafter(exact, 1.0)]
+    q = min(1.0, max(0.0, rng.choice([0.0, 1.0, 0.5, rng.random(), *lattice])))
+    tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.int64())})
+    spark.createDataFrame(tbl).createOrReplaceTempView("fq")
+    got = _canon(
+        spark.sql(
+            f"""
+            SELECT k,
+                   CASE WHEN COUNT(v) = 0 THEN NULL
+                        ELSE element_at(sort_array(collect_list(v)),
+                                        GREATEST(1, CAST(CEIL({q!r} * COUNT(v)) AS INT)))
+                   END AS dq
+            FROM fq GROUP BY k
+            """
+        ).toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fq", tbl)
+        exp = _canon(
+            con.execute(
+                "SELECT k, quantile_disc(v, ?) AS dq FROM fq GROUP BY k", [q]
+            ).df()
+        )
+    finally:
+        con.close()
+    assert got == exp, (seed, q, got, exp)
