@@ -1815,3 +1815,59 @@ def test_quantile_disc_pairing(spark, seed):
     finally:
         con.close()
     assert got == exp, (seed, q, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 28. dense-grid construction: Spark sequence(lo, hi) explode vs DuckDB
+#     UNNEST(generate_series(lo, hi)) — the calendar-spine idiom under
+#     q_timeseries_gapfill / q_timeseries_interpolate / q_cumulative_users.
+#     Integer grids over random bounds including lo == hi (one-element
+#     grid), negative bounds (pre-epoch days), and the step-3 variant.
+#     (Both constructs are INCLUSIVE of hi; an off-by-one here would
+#     shift every gap-filled day at any scale.)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_sequence_grid_pairing(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(1, 15)):
+        lo = rng.randint(-10**6, 10**6)
+        hi = lo + rng.choice([0, 1, 2, rng.randint(0, 500)])
+        rows.append((i, lo, hi))
+    tbl = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "lo": pa.array([r[1] for r in rows], pa.int64()),
+            "hi": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    spark.createDataFrame(tbl).createOrReplaceTempView("fg")
+    for step in (1, 3):
+        got = _canon(
+            spark.sql(
+                f"SELECT id, explode(sequence(lo, hi, {step})) AS g FROM fg"
+            ).toPandas()
+        )
+        con = duckdb.connect()
+        try:
+            con.register("fg", tbl)
+            exp = _canon(
+                con.execute(
+                    "SELECT id, UNNEST(generate_series(lo, hi, ?)) AS g FROM fg",
+                    [step],
+                ).df()
+            )
+        finally:
+            con.close()
+        assert got == exp, (seed, step, got, exp)
+        # _canon orders columns by NAME ('g', 'id') and sorts rows by a
+        # STRINGIFIED key — re-sort both sides numerically to compare
+        ref = sorted(
+            (float(g), float(i))
+            for i, lo, hi in rows
+            for g in range(lo, hi + 1, step)
+        )
+        assert sorted(got) == ref, (seed, step, sorted(got)[:5], ref[:5])
