@@ -123,9 +123,10 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
      q_window_rolling_days, q_winsorized_mean, q_wow_growth) were
      string-routed BOTH SIDES mid-round 10, riding their slots (the
      round-9 precedent). Notable: q_time_weighted_avg's cents x
-     nanoseconds product sums exceed 2^53 ALREADY at sf1 (~1e19 scaled)
-     — it was green only by measured int128->double agreement, the
-     q_agg_stats luck class; this batch retires that latent divergence.
+     nanoseconds product sums exceed 2^53 ALREADY at sf1 (measured: max
+     per-user scaled sum 2.2e19 = 2464x past the boundary) — it was
+     green only by measured int128->double agreement, the q_agg_stats
+     luck class; this batch retires that latent divergence.
      Ratchet after the batch: 9 names (q_join_right shim flip +
      q_window_range round 11; q_attribution, q_kmeans_iter,
      q_null_semantics, q_scan_evolved, q_stream_tumbling,
