@@ -393,8 +393,13 @@ def test_oracle_decimal_literals_inside_2pow53():
     Spark's BigDecimal conversion is exact — a shared oracle text would
     diverge purely by literal typing. Pinned in
     tests/test_differential_fuzz.py::test_decimal_literal_quantile_domain_boundary.
-    The longest production literal (q_benford_digits, 16 fractional
-    digits, unscaled ~3.0e15) is one order inside the boundary."""
+    (q_benford_digits' nine 16-fractional-digit expectation tokens, once
+    the longest bare literals, were string-routed via CAST('...' AS
+    DOUBLE) in round 10 and are therefore exempt from this scan; the
+    longest bare fractional literal remaining in any production oracle
+    is 4 digits — q_outlier_mad's 1.4826 MAD consistency constant and
+    q_tpch_q11's 0.0005 threshold — 13 orders inside the boundary. The
+    scan exists to stop a new long literal, not to police those.)"""
     import re as _re
 
     # the lookbehind skips string-routed literals (CAST('0.17...' AS
@@ -412,4 +417,83 @@ def test_oracle_decimal_literals_inside_2pow53():
         f"oracle fractional literals with >=17 digits (DuckDB DECIMAL "
         f"pre-rounding past 2^53): {offenders} — shorten the literal or "
         "bind it via a dialect-exact form"
+    )
+
+
+def test_test_sql_strings_guard_fractional_literal_arithmetic():
+    """Extension of the bare-literal typing lint to SQL STRINGS IN TESTS
+    (round-10 judge finding): tests/test_differential_fuzz.py section 27
+    interpolated a Python float into Spark SQL arithmetic
+    (``CEIL({q!r} * COUNT(v))``); Spark typed the bare fractional literal
+    DECIMAL(16,16) and evaluated the product in EXACT decimal while the
+    DuckDB side (bound DOUBLE parameter) used the IEEE product — the test
+    went flaky-red on lattice draws. BOTH engines type a bare fractional
+    SQL literal as DECIMAL, so any test that embeds one in arithmetic is
+    comparing decimal math on one side against double math on the other.
+
+    This lint parses every tests/*.py with ``ast``, reconstructs each
+    string constant and f-string (interpolations become the marker
+    ``{X}``), and inside any SQL-looking string (contains SELECT) flags:
+
+    - an interpolated value adjacent to ``* / + %`` arithmetic unless
+      spelled ``CAST({X} AS DOUBLE)`` (the section-27 fix), and
+    - a bare fractional literal with >= 10 fractional digits adjacent to
+      arithmetic (short constants like ``0.5 * n`` are exact in both
+      typings; a high-precision literal in arithmetic is exactly the
+      lattice class that diverges).
+
+    Literals passed WITHOUT arithmetic (e.g. straight into
+    percentile()/quantile_cont() as the percentage argument) are fine:
+    the function casts the exact decimal to double with no decimal
+    arithmetic first, which round-trips a shortest-repr literal to the
+    original double — the audit note in test_differential_fuzz section
+    27 spells this out for the two such sites (sections 10/20)."""
+    import ast
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def render(node: ast.AST) -> str | None:
+        if isinstance(node, ast.Constant) and isinstance(node.value, str):
+            return node.value
+        if isinstance(node, ast.JoinedStr):
+            parts = []
+            for piece in node.values:
+                if isinstance(piece, ast.Constant):
+                    parts.append(str(piece.value))
+                else:
+                    parts.append("{X}")
+            return "".join(parts)
+        return None
+
+    interp_arith = re.compile(r"\{X\}\s*[*/%+]|[*/%+]\s*\{X\}")
+    guarded = re.compile(r"CAST\(\{X\}\s+AS\s+(DOUBLE|FLOAT|REAL)\)", re.I)
+    long_frac_arith = re.compile(
+        r"(?<!['\d.])\d*\.\d{10,}\s*[*/%+]|[*/%+]\s*(?<!['\d.])\d*\.\d{10,}"
+    )
+    offenders: list[str] = []
+    for path in sorted(glob.glob(os.path.join(here, "*.py"))):
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            text = render(node)
+            if text is None or "SELECT" not in text.upper():
+                continue
+            # strip quoted SQL string literals first (interpolated file
+            # paths like '{tmp}/events.parquet' put a / next to a
+            # placeholder but are text, not arithmetic), then the guarded
+            # form, so a CAST({X} AS DOUBLE) * n product (double
+            # arithmetic, the correct spelling) passes
+            stripped = re.sub(r"'[^']*'", "QUOTED", text)
+            stripped = guarded.sub("CASTED", stripped)
+            where = f"{os.path.basename(path)}:{node.lineno}"
+            if interp_arith.search(stripped):
+                offenders.append(f"{where}: interpolated-literal arithmetic")
+            if long_frac_arith.search(stripped):
+                offenders.append(f"{where}: long-fractional-literal arithmetic")
+    assert not offenders, (
+        "SQL strings in tests embed bare fractional literals in "
+        f"arithmetic (decimal-typing divergence class): {offenders} — "
+        "wrap the literal as CAST(... AS DOUBLE) or bind it as a "
+        "parameter"
     )
