@@ -70,15 +70,17 @@ ROUND-9 MIGRATION LEDGER — direct-cast sites still outstanding (each
 needs a DRIVER_WINDOW slot when its oracle text changes; magnitudes
 audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
 
-1. The ``sql_sum_direct`` shim sites (this module): 8 of 9 MIGRATED —
-   5 in round 9 (q_agg_rollup, q_agg_grouping_sets, q_agg_salted on
-   slots; q_join_full, q_window_share riding their refresh slots), 3 in
-   round 10 on the planned slots (q_join_salted — its r9 slot was ceded
-   to the q_acf int64 overflow fix — q_join_outer, q_tpch_q3_shipping;
-   all <= ~3.5e12 scaled at sf1, so uniformity cleanups). Remaining 1:
-   q_join_right (same safe magnitude class as its q_join_outer mirror);
-   flips on a round-11 spare slot, after which BOTH shims are DELETED
-   from this module.
+1. The ``sql_sum_direct`` shim sites (this module): 9 of 9 MIGRATED,
+   CLOSED — 5 in round 9 (q_agg_rollup, q_agg_grouping_sets,
+   q_agg_salted on slots; q_join_full, q_window_share riding their
+   refresh slots), 3 in round 10 on the planned slots (q_join_salted —
+   its r9 slot was ceded to the q_acf int64 overflow fix — q_join_outer,
+   q_tpch_q3_shipping), and q_join_right on its planned round-11 slot
+   (same safe magnitude class as its q_join_outer mirror; <= ~3.5e12
+   scaled at sf1, a uniformity cleanup). The ``sql_sum_direct`` /
+   ``sql_avg_direct`` shims were DELETED from this module in the
+   q_join_right commit — every oracle sum is now string-routed
+   ``sql_sum``/``sql_avg``.
 2. Inline ``CAST(SUM(CAST(.. AS DECIMAL)) AS DOUBLE)`` with sf1-scale
    headroom < 2 orders — priority (the WHOLE 39-query DIRECT_CAST_LEGACY
    ratchet set was empirically parity-tested at sf1; results committed in
@@ -114,8 +116,9 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
      (PARITY_SF1.json); no action needed.
    - relational2.py q_window_range (scale 2, inline-OVER range frames —
      surfaced by the round-9 ratchet-regex widening): per-customer
-     cumulative sums, magnitude-safe; migrates round 11 (round 10's
-     spare went to the q_acf emergency's displaced shim flip).
+     cumulative sums, magnitude-safe. MIGRATED IN ROUND 11 on its
+     planned slot (string-routed both sides — the OVER sum now reads
+     CAST(CAST(SUM(..) OVER (..) AS VARCHAR) AS DOUBLE)).
    - ROUND-10 RIDE BATCH: the 12 legacy oracles holding round-10
      refresh slots (q_cohort_ltv, q_decayed_avg, q_join_bucketed,
      q_join_dpp, q_scan_orc, q_scan_pruned, q_time_weighted_avg,
@@ -127,15 +130,27 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
      per-user scaled sum 2.2e19 = 2464x past the boundary) — it was
      green only by measured int128->double agreement, the q_agg_stats
      luck class; this batch retires that latent divergence.
-     Ratchet after the batch: 9 names (q_join_right shim flip +
-     q_window_range round 11; q_attribution, q_kmeans_iter,
-     q_null_semantics, q_scan_evolved, q_stream_tumbling,
-     q_subquery_scalar, q_window_frame audited magnitude-safe, riding
-     future refresh slots).
+     Ratchet after the batch: 9 names. ROUND-11 DEPARTURES: q_join_right
+     (shim flip, slot) + q_window_range (inline-OVER, slot) +
+     q_attribution and q_scan_evolved (both r6-vintage refreshers in the
+     round-11 window — their migrations rode those slots for free, the
+     round-9/10 precedent). Ratchet after round 11: 5 names
+     (q_kmeans_iter, q_null_semantics, q_stream_tumbling,
+     q_subquery_scalar, q_window_frame — audited magnitude-safe, riding
+     future refresh slots: q_window_frame / q_null_semantics /
+     q_subquery_scalar are r7-vintage and ride the round-12 refresh
+     backlog; q_kmeans_iter / q_stream_tumbling are r8-vintage and ride
+     round 12's r8 head or round 13).
 3. ``spark.sql``-surface queries (sql_surface.py) execute ONE dialect-
    neutral text on both engines, so a single edit migrates both sides:
    q_sql_revenue_by_nation (scale 4, ~3.5e14 at sf1 — 1.4 orders of
-   headroom, crosses near sf30). Low priority.
+   headroom, crosses near sf30). CLOSED — this row was stale for two
+   rounds: the query was in fact string-routed in ROUND 9 (commit
+   3a78478, "the two shared-text SQL-surface queries", spelled AS
+   STRING because Spark's parser rejects bare VARCHAR while DuckDB
+   accepts STRING as a VARCHAR alias) and held a round-9 window slot;
+   its text carries no direct cast (ratchet-regex clean). Its round-11
+   spare slot is therefore a driver-row + sf1 refresh, not a migration.
 4. Scaled-integer BIGINT outputs (``CAST(SUM(..) AS BIGINT)``) are exact
    by construction — no conversion ambiguity, audited, no action.
 5. (round 10, found by differential fuzzing — not a decimal-cast site but
@@ -203,26 +218,3 @@ def sql_avg(expr: str, scale: int = 6) -> str:
     return f"{sql_sum(expr, scale)} / COUNT({expr})"
 
 
-def sql_sum_direct(expr: str, scale: int = 6) -> str:
-    """DEPRECATED pre-round-8 direct-cast form — ONE call site left.
-
-    The string-routed ``sql_sum`` is the canonical semantics, but an oracle
-    rewrite must hold a DRIVER_WINDOW adjudication slot in the same commit
-    (tests/test_plan_lint.py::test_oracle_rewrite_requeues_adjudication).
-    Rounds 9-10 migrated 8 of the 9 call sites; only q_join_right
-    (relational2.py) keeps this byte-identical pre-round-8 oracle text for
-    one more round — safe at sf1 magnitudes (scaled sum >=2 orders below
-    the 2^53 direct-cast divergence boundary, same class as its migrated
-    q_join_outer mirror). Round 11: flip it on the planned spare slot and
-    DELETE this shim and ``sql_avg_direct`` in the same commit.
-
-    Spark twins already use the string-routed ``exact_sum`` — in the safe
-    range both forms produce the same correctly-rounded double, so mixing
-    routes across engines is exact HERE (and only here).
-    """
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
-
-
-def sql_avg_direct(expr: str, scale: int = 6) -> str:
-    """DEPRECATED — see ``sql_sum_direct``."""
-    return f"{sql_sum_direct(expr, scale)} / COUNT({expr})"

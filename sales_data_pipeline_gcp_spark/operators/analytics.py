@@ -187,8 +187,8 @@ ATTRIBUTION_CHANNELS = ("click", "view", "signup")
     )
     SELECT COALESCE(channel, 'direct') AS channel,
            COUNT(*)                    AS n_purchases,
-           CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS DOUBLE) / 1e2
-                                       AS attributed_value
+           CAST(CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS VARCHAR)
+                AS DOUBLE) / 1e2      AS attributed_value
     FROM touched
     WHERE event_type = 'purchase'
     GROUP BY COALESCE(channel, 'direct')
@@ -223,9 +223,10 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
         .agg(
             F.count("*").alias("n_purchases"),
-            (F.sum(dec(F.col("value") * 100, 0)).cast("double") / F.lit(1e2)).alias(
-                "attributed_value"
-            ),
+            (
+                F.sum(dec(F.col("value") * 100, 0)).cast("string").cast("double")
+                / F.lit(1e2)
+            ).alias("attributed_value"),
         )
     )
 

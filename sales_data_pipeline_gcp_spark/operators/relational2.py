@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_sum, sql_sum_direct
+from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_sum
 from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -195,9 +195,10 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_totalprice,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                           RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS n_similar,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_below
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE) AS cum_below
     FROM orders
     """,
     doc="RANGE frames (value-based, vs the ROWS frames in q_window_frame): "
@@ -217,7 +218,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
         F.count(F.lit(1)).over(w_sym).alias("n_similar"),
-        F.sum(dec).over(w_below).cast("double").alias("cum_below"),
+        F.sum(dec).over(w_below).cast("string").cast("double").alias("cum_below"),
     )
 
 
@@ -228,7 +229,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(n_orders, 0) AS n_orders,
            COALESCE(spend, 0.0)  AS spend
     FROM (
-        SELECT o_custkey, COUNT(*) AS n_orders, {sql_sum_direct('o_totalprice', 2)} AS spend
+        SELECT o_custkey, COUNT(*) AS n_orders, {sql_sum('o_totalprice', 2)} AS spend
         FROM orders GROUP BY o_custkey
     ) agg
     RIGHT JOIN customer ON o_custkey = c_custkey

@@ -486,7 +486,8 @@ ensure_evolved_fixture()
     oracle=f"""
     SELECT COALESCE(channel, 'legacy') AS channel,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(amount AS DECIMAL(38,2))) AS DOUBLE) AS total_amount,
+           CAST(CAST(SUM(CAST(amount AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
+               AS total_amount,
            CAST(MIN(id) AS BIGINT) AS min_id,
            CAST(MAX(id) AS BIGINT) AS max_id
     FROM read_parquet(['{EVOLVED_V1_PATH}', '{EVOLVED_V2_PATH}'],
@@ -515,7 +516,10 @@ def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel")
     ).agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("amount").cast("decimal(38,2)")).cast("double").alias("total_amount"),
+        F.sum(F.col("amount").cast("decimal(38,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("total_amount"),
         F.min("id").cast("bigint").alias("min_id"),
         F.max("id").cast("bigint").alias("max_id"),
     )

@@ -108,6 +108,142 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- round-11 rotation: executed exactly as the round-10 plan wrote
+    # it (the ROUND-11 ROTATION PLAN block archived below with
+    # _ROUND10_WINDOW_HISTORY, and round-10 VERDICT items 2/3/6). Slot
+    # accounting, 50/50, ZERO additions:
+    #  45  the ENTIRE round-6-vintage oracled refresh backlog in
+    #      registration order (computed from the committed
+    #      CORRECTNESS_r01-r10 union: latest adjudication == round 6 —
+    #      47 queries sat at r6 after round 10, minus rows-only
+    #      q_stream_dedup / q_stream_join, which have no refreshable hash
+    #      evidence and are excluded by the freshness lint). At the
+    #      round-12 commit an unrefreshed r6 row would be age 6 > K=5.
+    #      TWO of these also carry DIRECT_CAST_LEGACY oracles
+    #      (q_attribution, q_scan_evolved — both magnitude-audited safe);
+    #      their string-route migrations RIDE these refresh slots for
+    #      free (the round-9/10 precedent), both sides flipped in this
+    #      commit and re-proven by sf0.01/sf0.1 parity + an sf1 refresh.
+    #   1  q_join_right — the LAST sql_sum_direct shim site (displaced
+    #      from r9 by the q_acf emergency, from r10 by slot accounting);
+    #      magnitude-safe flip (scaled sum >= 2 orders under 2^53, same
+    #      class as its migrated q_join_outer mirror). The
+    #      sql_sum_direct / sql_avg_direct shims are DELETED from
+    #      functions/exact.py in this same commit — every oracle sum is
+    #      now string-routed.
+    #   1  q_window_range — the inline-OVER direct cast the round-9
+    #      ratchet-regex widening surfaced (magnitude-safe per-customer
+    #      range-frame sums); the OVER sum is string-routed both sides.
+    #      DIRECT_CAST_LEGACY after these four departures: 5 names.
+    #   3  SPARES, spent per the committed plan's ledger-risk/oldest-first
+    #      rule and round-10 VERDICT items 3/6:
+    #      (a) q_sql_revenue_by_nation — the plan reserved this for the
+    #          scale-4 direct-cast migration, but that ledger row was
+    #          STALE: the query was already string-routed in round 9
+    #          (commit 3a78478, "the two shared-text SQL-surface
+    #          queries") and carries no direct cast today. The slot is
+    #          spent anyway as its driver-row + sf1 refresh and the
+    #          exact.py ledger row is closed with the correction.
+    #      (b)+(c) the plan's named candidates (q_window_frame,
+    #          q_stream_tumbling) are r7/r8-vintage — not yet due — so
+    #          the "else plain oldest-first refreshers" fallback applies:
+    #          q_agg_approx and q_sample_stratified, the two r2-vintage
+    #          rows-only adjudications (8 rounds old, the oldest evidence
+    #          in the repo; round-10 VERDICT item 6 asks for exactly this
+    #          refresh). A slot buys a rows-only query only a fresh
+    #          rows-evidence record — their hard checks stay in
+    #          tests/test_approx.py and the oracled q_agg_approx_bounds
+    #          twin — but after 8 rounds a current driver row is worth
+    #          one slot each; the freshness story then has no asterisk.
+    # round-6-vintage refresh backlog (all of it), registration order
+    "q_agg_distinct",
+    "q_parse_logs",
+    "q_business_days",
+    "q_dedup_blocking_quality",
+    "q_dedup_minhash_accuracy",
+    "q_source_diversity",
+    "q_scan_evolved",
+    "q_udtf_chunks",
+    "q_scan_csv_quoted",
+    "q_scan_text",
+    "q_join_asof_nearest",
+    "q_join_asof_tolerance",
+    "q_funnel_steps",
+    "q_peak_concurrency",
+    "q_cdc_apply",
+    "q_survivorship",
+    "q_graph_triangles_lsh",
+    "q_mannwhitney",
+    "q_dq_referential",
+    "q_sql_chained_index",
+    "q_compaction_plan",
+    "q_calendarize",
+    "q_capped_runsum",
+    "q_rfm",
+    "q_purchase_intervals",
+    "q_attribution",
+    "q_skyline",
+    "q_xyz_analysis",
+    "q_price_index",
+    "q_item_cf",
+    "q_gini_concentration",
+    "q_spearman_corr",
+    "q_ks_test",
+    "q_cusum_changepoint",
+    "q_dow_seasonality",
+    "q_mix_effective_sources",
+    "q_label_window",
+    "q_train_test_split",
+    "q_tv_drift",
+    "q_window_median",
+    "q_feature_hash",
+    "q_lift_curve",
+    "q_window_hampel",
+    "q_spatial_join",
+    "q_spatial_nearest",
+    # the two slotted migrations (oracle text changed in this commit)
+    "q_join_right",
+    "q_window_range",
+    # spares: stale-ledger-row closure refresh + the two r2-vintage
+    # rows-only evidence refreshers (round-10 VERDICT items 3/6)
+    "q_sql_revenue_by_nation",
+    "q_agg_approx",
+    "q_sample_stratified",
+)
+
+
+#: ROUND-12 ROTATION PLAN (written at the round-11 commit, assuming the
+#: r11 window goes green; slot accounting 50/50 — ZERO spare slots, the
+#: tightest budget since round 8's backlog-tail round):
+#:  38  the ENTIRE round-7-vintage oracled refresh backlog in
+#:      registration order (39 queries sat at r7 after round 10, minus
+#:      rows-only q_stream_join_outer — no refreshable hash evidence).
+#:      At the round-13 commit an unrefreshed r7 row would be age
+#:      6 > K=5. THREE of these carry DIRECT_CAST_LEGACY oracles
+#:      (q_window_frame, q_null_semantics, q_subquery_scalar — all
+#:      magnitude-audited safe, exact.py ledger item 2); their
+#:      string-route migrations RIDE these refresh slots for free.
+#:   2  q_kmeans_iter + q_stream_tumbling — the LAST two
+#:      DIRECT_CAST_LEGACY members (r8-vintage; pulled one round ahead
+#:      of their plain refresh turn so their migrations ride slots that
+#:      double as early r8 refreshes). After these land the ratchet set
+#:      is EMPTY and test_direct_decimal_cast_is_a_closed_set degenerates
+#:      to a pure ban on the idiom — the three-round migration program
+#:      (rounds 9-12) is complete.
+#:  10  the round-8-vintage oracled refresh head, registration order
+#:      (49 r8-vintage queries total; the remaining 39 lead round 13's
+#:      rotation, joined by the r8 tail + early r9 rows — the freshness
+#:      math holds: r8 rows are age 5 = K at the round-13 commit, due
+#:      but not yet stale).
+#: PRECEDENCE (the bollinger/acf/emergency clause, unchanged): a
+#: measured at-scale cross-engine divergence or a failed round gate
+#: displaces, in order, (1) the r8 head slots, (2) the two pulled-ahead
+#: migrations (they revert to their natural r8/r13 turns), and NEVER the
+#: 38 freshness-critical r7 refreshers — displacing one of those would
+#: fail test_adjudication_freshness at the round-13 commit.
+
+
+_ROUND10_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-10 rotation: executed exactly as the round-9 plan wrote it
     # (the ROUND-10 ROTATION PLAN block archived below with
     # _ROUND9_WINDOW_HISTORY, and round-9 VERDICT items 1-2). Slot

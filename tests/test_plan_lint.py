@@ -276,27 +276,15 @@ def test_coverage_count_in_sync():
 #: (q_agg_stats / q_ols_regression, ~4.5e16 scaled at sf1) is pinned
 #: hash-green in PARITY_SF1.json as the tripwire.
 DIRECT_CAST_LEGACY = {
-    "q_attribution",
-    # the last sql_sum_direct shim site (q_join_outer / q_join_salted /
-    # q_tpch_q3_shipping migrated on round-10 slots); flips on a
-    # round-11 spare slot, after which the shim is deleted
-    "q_join_right",
+    # all 9 sql_sum_direct shim sites are migrated and the shim DELETED
+    # (q_join_right flipped on its round-11 slot); q_window_range's
+    # inline-OVER cast string-routed on its round-11 slot; q_attribution
+    # and q_scan_evolved rode their round-11 r6-refresh slots (the
+    # round-9/10 ride precedent). Remaining 5, audited magnitude-safe
+    # (exact.py ledger item 2), riding future refresh slots:
     "q_kmeans_iter", "q_null_semantics",
-    "q_scan_evolved",
     "q_stream_tumbling", "q_subquery_scalar",
     "q_window_frame",
-    # surfaced by the round-9 regex widening (inline OVER specs were
-    # previously invisible to the ban): per-customer range-frame sums,
-    # magnitude-safe (a single customer's scaled order total << 2^53);
-    # migrates on a round-11 spare slot
-    "q_window_range",
-    # the 12 round-5-vintage legacy oracles holding round-10 refresh
-    # slots (q_cohort_ltv, q_decayed_avg, q_join_bucketed, q_join_dpp,
-    # q_scan_orc, q_scan_pruned, q_time_weighted_avg,
-    # q_timeseries_gapfill, q_timeseries_interpolate,
-    # q_window_rolling_days, q_winsorized_mean, q_wow_growth) rode their
-    # slots to the string route mid-round-10 (the round-9 precedent:
-    # a migration rides its refresh slot for free) and left this set.
 }
 
 
