@@ -1897,3 +1897,235 @@ def test_sequence_grid_pairing(spark, seed):
             for g in range(lo, hi + 1, step)
         )
         assert sorted(got) == ref, (seed, step, sorted(got)[:5], ref[:5])
+
+
+# ---------------------------------------------------------------------------
+# 29. interval/timestamp arithmetic under offset session timezones at the
+#     corrected 2026 DST instants (round-10 open pair #2): every declared
+#     event query runs on the int64 epoch-ns `ts` column precisely so that
+#     downstream arithmetic is tz-free — this class pins WHY that design
+#     holds. (a) PROPERTY: day-time (hour) interval arithmetic on the
+#     loaded TimestampType column is PHYSICAL in Spark (micros shift by
+#     h*3600e6 regardless of session tz — America/New_York, half-hour
+#     Adelaide, quarter-hour Chatham) and equals DuckDB's NTZ wall-clock
+#     hour add on the same parquet, at instants straddling BOTH 2026 US
+#     transitions (spring-forward 2026-03-08 07:00Z, fall-back 2026-11-01
+#     06:00Z — the corrected instants, round-9 ADVICE). (b) The epoch-ns
+#     integer route (ts + h*3600e9) is trivially identical on both
+#     engines — the production-safe interval form. A deterministic
+#     companion (below) pins the CALENDAR-interval divergence this
+#     property deliberately excludes.
+# ---------------------------------------------------------------------------
+
+
+@settings(derandomize=True, max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_interval_arithmetic_tz_invariance(spark, seed):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from sales_data_pipeline_gcp_spark.io import load
+
+    rng = random.Random(seed)
+    dst_2026_spring = 1772953200_000_000  # 2026-03-08 07:00:00Z
+    dst_2026_fall = 1793512800_000_000  # 2026-11-01 06:00:00Z
+    micros = [
+        rng.choice(
+            [
+                dst_2026_spring + rng.randint(-7200, 7200) * 1_000_000,
+                dst_2026_fall + rng.randint(-7200, 7200) * 1_000_000,
+                rng.randint(0, 4_102_444_800_000_000),  # 1970..2100 control
+            ]
+        )
+        for _ in range(rng.randint(1, 30))
+    ]
+    h = rng.choice([-25, -1, 1, 3, 24])  # crossings in both directions
+    tz = rng.choice(["UTC", "America/New_York", "Australia/Adelaide", "Pacific/Chatham"])
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(micros)), pa.int64()),
+            "ts": pa.array(micros, pa.timestamp("us")),
+        }
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    with tempfile.TemporaryDirectory(prefix="fuzz_intervals_") as tmp:
+        pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
+        try:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = (
+                load(spark, tmp, "events")
+                .select(
+                    "event_id",
+                    F.expr(f"unix_micros(ts_us + INTERVAL {h} HOURS)").alias("shifted_us"),
+                    (F.col("ts") + F.lit(h * 3_600_000_000_000)).alias("shifted_ns"),
+                )
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+        con = duckdb.connect()
+        try:
+            exp = dict(
+                con.execute(
+                    f"SELECT event_id, epoch_ns(ts + to_hours(?)) FROM '{tmp}/events.parquet'",
+                    [h],
+                ).fetchall()
+            )
+        finally:
+            con.close()
+    for r in rows:
+        want_us = micros[r["event_id"]] + h * 3_600_000_000
+        assert r["shifted_us"] == want_us, (seed, tz, h, r["event_id"], r["shifted_us"], want_us)
+        assert r["shifted_ns"] == exp[r["event_id"]], (seed, tz, h, r["event_id"])
+        assert r["shifted_us"] * 1000 == exp[r["event_id"]], (seed, tz, h, r["event_id"])
+
+
+def test_month_interval_tz_domain_boundary(spark):
+    """Deterministic pin of the CALENDAR-interval hazard the tz-invariance
+    property excludes: Spark adds a year-month interval to a TimestampType
+    in the SESSION timezone's local calendar (instant -> local datetime ->
+    add_months -> instant), so crossing a DST transition shifts the
+    result's INSTANT by the DST delta — while the DuckDB oracle's NTZ
+    wall-clock month add is tz-fixed. 2026-02-08 17:00Z is 12:00 EST; one
+    month later at 12:00 EDT is 16:00Z, one hour EARLIER than the NTZ
+    reading (17:00Z). Under a UTC session the two agree exactly. This is
+    WHY declared oracles do month arithmetic on DATEs only and the events
+    pipeline stays on epoch integers; any future timestamp-month pairing
+    must route through dates or pin the session tz on both engines."""
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+
+    import pyarrow.parquet as pq
+
+    from sales_data_pipeline_gcp_spark.io import load
+
+    base = datetime(2026, 2, 8, 17, 0, tzinfo=timezone.utc)
+    base_us = int(base.timestamp()) * 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0], pa.int64()),
+            "ts": pa.array([base_us], pa.timestamp("us")),
+        }
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    with tempfile.TemporaryDirectory(prefix="fuzz_month_") as tmp:
+        pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
+        got = {}
+        try:
+            for tz in ("UTC", "America/New_York"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                got[tz] = (
+                    load(spark, tmp, "events")
+                    .select(F.expr("unix_micros(ts_us + INTERVAL 1 MONTH)").alias("us"))
+                    .collect()[0]["us"]
+                )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+        con = duckdb.connect()
+        try:
+            ntz = con.execute(
+                f"SELECT epoch_ns(ts + INTERVAL 1 MONTH) FROM '{tmp}/events.parquet'"
+            ).fetchone()[0]
+        finally:
+            con.close()
+    # UTC session: local calendar == NTZ wall clock -> exact agreement
+    assert got["UTC"] * 1000 == ntz, (got["UTC"], ntz)
+    # NY session: 12:00 EST + 1 month = 12:00 EDT -> instant 1h earlier
+    ny = int(datetime(2026, 3, 8, 12, 0, tzinfo=ZoneInfo("America/New_York")).timestamp())
+    assert got["America/New_York"] == ny * 1_000_000, (got["America/New_York"], ny)
+    assert ntz - got["America/New_York"] * 1000 == 3_600_000_000_000, (ntz, got)
+
+
+# ---------------------------------------------------------------------------
+# 30. NON-DYADIC quantile_cont tie brackets (round-10 open pair #1): the
+#     percentile()/quantile_cont() pairing diverges one ulp when the cut
+#     lands inside an inexact tie run (exact.py ledger item 5) — safe on
+#     the shipped fixtures only because their replica structure makes
+#     every in-tie fraction DYADIC (tests/test_percentile_tie_audit.py
+#     records the migration trigger). This class pre-validates the
+#     DOCUMENTED MIGRATION PATH itself: the explicit rank-interpolation
+#     oracle with Spark's tie shortcut (CASE WHEN v_lo = v_hi THEN v_lo
+#     ELSE v_lo*(1-f) + v_hi*f over ROW_NUMBER-ranked values) must match
+#     Spark percentile() BIT-EXACTLY on arbitrary inputs: dense tie runs
+#     over binary-inexact cents values, NON-dyadic p (thirds, random
+#     doubles, the known-divergent 0.17372881355932202), lattice-adjacent
+#     p where floor(p*(n-1)) flips by one ulp, p = 0/1, NULLs, all-NULL
+#     and single-element groups. If this property holds, any percentile
+#     query whose fixture trips the tie audit can migrate by swapping in
+#     this oracle with zero semantic risk. p is bound as a DOUBLE
+#     parameter / F.lit double on both sides (section 27's typing guard).
+# ---------------------------------------------------------------------------
+
+
+@settings(derandomize=True, max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_percentile_tie_nondyadic_pairing(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 90)
+    # a 1-4 value domain of inexact cents forces dense tie runs
+    domain = [rng.randint(-(10**6), 10**6) / 100.0 for _ in range(rng.randint(1, 4))]
+    vs = [None if rng.random() < 0.12 else rng.choice(domain) for _ in range(n)]
+    ks = [i % 3 for i in range(n)]
+    counts = {}
+    for g, v in zip(ks, vs):
+        if v is not None:
+            counts[g] = counts.get(g, 0) + 1
+    lattice = []
+    m = max(counts.values(), default=0)
+    if m > 1:
+        j = rng.randint(1, m - 1)
+        exact = j / (m - 1)
+        lattice = [exact, math.nextafter(exact, 0.0), math.nextafter(exact, 1.0)]
+    p = min(
+        1.0,
+        max(
+            0.0,
+            rng.choice(
+                [0.0, 1.0, 1 / 3, 2 / 3, 0.17372881355932202, rng.random(), *lattice]
+            ),
+        ),
+    )
+    tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())})
+    spark.createDataFrame(tbl).createOrReplaceTempView("fq")
+    got = _canon(
+        spark.table("fq").groupBy("k").agg(F.percentile("v", F.lit(p)).alias("q")).toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fq", tbl)
+        exp = _canon(
+            con.execute(
+                """
+                WITH keys AS (SELECT DISTINCT k FROM fq),
+                ranked AS (
+                    SELECT k, v,
+                           ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS r,
+                           COUNT(*) OVER (PARTITION BY k) AS n
+                    FROM fq WHERE v IS NOT NULL
+                ),
+                pick AS (
+                    SELECT k,
+                           MAX(CASE WHEN r = CAST(FLOOR(? * (n-1)) AS BIGINT) + 1
+                                    THEN v END) AS v_lo,
+                           MAX(CASE WHEN r = CAST(CEIL(? * (n-1)) AS BIGINT) + 1
+                                    THEN v END) AS v_hi,
+                           MAX(? * (n-1) - FLOOR(? * (n-1))) AS f
+                    FROM ranked GROUP BY k
+                )
+                SELECT keys.k AS k,
+                       CASE WHEN pick.v_lo IS NULL THEN NULL
+                            WHEN pick.v_lo = pick.v_hi THEN pick.v_lo
+                            ELSE pick.v_lo * (1 - pick.f) + pick.v_hi * pick.f
+                       END AS q
+                FROM keys LEFT JOIN pick ON keys.k = pick.k
+                """,
+                [p, p, p, p],
+            ).df()
+        )
+    finally:
+        con.close()
+    assert got == exp, (seed, p, got, exp)
