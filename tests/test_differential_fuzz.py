@@ -2450,3 +2450,96 @@ def test_case_audit_fixture_ascii():
         finally:
             con.close()
         assert bad == 0 and bad_part == 0, (sf, bad, bad_part)
+
+
+# ---------------------------------------------------------------------------
+# 34. CAST(DOUBLE AS BIGINT/INT) — a fourth real default-semantics
+#     divergence (round-11 probe): Spark TRUNCATES toward zero (ANSI cast
+#     drops the fraction: 1.5 -> 1, -2.7 -> -2) while DuckDB 1.0.0 ROUNDS
+#     half-to-even (1.5 -> 2, -2.7 -> -3) — different integers for ANY
+#     fractional double, not just .5 lattice points. round() itself is
+#     NOT divergent (both engines round half AWAY from zero: 2.5 -> 3,
+#     -2.5 -> -3). Declared-surface audit (round 11, 221 cast-to-integer
+#     sites extracted from every oracle): each is (a) integral by
+#     construction — counts, window ranks, modular/integer arithmetic,
+#     powers of two, scaled exact decimals; (b) guarded by
+#     CEIL/FLOOR/ROUND before the cast; or (c) the cents idiom
+#     CAST(money * 100 AS BIGINT) whose SPARK twin routes through
+#     DECIMAL(38,0) (half-up on the shortest repr) while the oracle
+#     rounds the raw double (half-even on the exact expansion) — those
+#     agree because cents-exact money products land within one double ulp
+#     of an integer, never at a .5 boundary (the same input-domain
+#     argument as functions/exact.py's cast audit). The deterministic
+#     test pins each engine's rule; the property pins the three
+#     dialect-exact guarded forms and the per-engine rules against an
+#     independent Python reference over adversarial lattice values.
+# ---------------------------------------------------------------------------
+
+
+def test_double_to_int_cast_domain_boundary(spark):
+    """Spark CAST(double AS BIGINT) == trunc; DuckDB == round-half-even.
+    Any oracle casting a genuinely fractional double to an integer
+    WITHOUT a CEIL/FLOOR/ROUND guard diverges."""
+    vals = [0.5, 1.5, 2.5, 2.7, -2.7, 3.5, -3.5]
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    spark.createDataFrame(tbl).createOrReplaceTempView("fci")
+    got = {
+        r["v"]: r["i"]
+        for r in spark.sql("SELECT v, CAST(v AS BIGINT) AS i FROM fci").collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("fci", tbl)
+        exp = dict(con.execute("SELECT v, CAST(v AS BIGINT) FROM fci").fetchall())
+    finally:
+        con.close()
+    for v in vals:
+        assert got[v] == math.trunc(v), (v, got[v])  # Spark: truncation
+        assert exp[v] == round(v), (v, exp[v])  # DuckDB: half-even (Python round)
+    assert got[1.5] != exp[1.5] and got[-2.7] != exp[-2.7]  # the divergence
+
+
+@settings(derandomize=True, max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_double_to_int_guarded_cast_pairing(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    vals = []
+    for _ in range(n):
+        base = rng.randint(-10**6, 10**6)
+        vals.append(
+            rng.choice(
+                [
+                    float(base),  # exact integer
+                    base + 0.5,  # half lattice (the trunc/half-even gap)
+                    base + rng.random(),  # arbitrary fraction
+                    base + 1e-9,  # near-integer epsilon (cents-product shape)
+                    base - 1e-9,
+                ]
+            )
+        )
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    sql = """
+        SELECT v,
+               CAST(FLOOR(v) AS BIGINT) AS f,
+               CAST(CEIL(v)  AS BIGINT) AS c,
+               CAST(ROUND(v, 0) AS BIGINT) AS r
+        FROM fci
+    """
+    got, exp = _both(spark, sql, {"fci": tbl})
+    assert got == exp, (seed, got, exp)
+    # per-engine raw-cast rules vs the independent Python reference
+    spark.createDataFrame(tbl).createOrReplaceTempView("fci")
+    raw_s = {
+        r["v"]: r["i"]
+        for r in spark.sql("SELECT v, CAST(v AS BIGINT) AS i FROM fci").collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("fci", tbl)
+        raw_d = dict(con.execute("SELECT v, CAST(v AS BIGINT) FROM fci").fetchall())
+    finally:
+        con.close()
+    for v in set(vals):
+        assert raw_s[v] == math.trunc(v), (seed, v, raw_s[v])
+        assert raw_d[v] == round(v), (seed, v, raw_d[v])
