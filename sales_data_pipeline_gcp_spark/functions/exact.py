@@ -169,7 +169,27 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
    as an explicit rank interpolation with Spark's tie shortcut
    (CASE WHEN v_lo = v_hi THEN v_lo ELSE v_lo*(1-f) + v_hi*f END over
    row_number()-ranked values) — needs a window slot like any oracle
-   rewrite.
+   rewrite. The migration-path oracle is PRE-VALIDATED bit-exact
+   against Spark percentile() under non-dyadic/lattice/tie fuzz
+   (tests/test_differential_fuzz.py section 30, round 11).
+6. (round 11, found by differential probing — the math-DOMAIN contract)
+   Outside a function's real domain Spark returns a value (NULL for
+   ln/log10 of <= 0, NaN for sqrt/asin/acos violations) while DuckDB
+   1.0.0 RAISES — a domain violation reaching an oracle KILLS the query
+   rather than mis-hashing it. Exposure audit (section 35): every
+   declared LN argument is strictly positive by construction and every
+   SQRT argument is a self-dot product (sum of squares) or a
+   variance-style discriminant (sxx - sx*sx/n; n*sxx - sx*sx in
+   stats.py / distribution.py / analytics.py), non-negative in exact
+   arithmetic and measured non-negative at the shipped fixtures (all
+   adjudication-green, which an errored oracle could not be). WATCH:
+   a ZERO-VARIANCE window whose squared sums exceed 2^53 (bollinger's
+   reach ~6e20 at sf0.1) could round the discriminant to a tiny
+   negative — Spark would emit NaN, DuckDB would error. If a fixture
+   ever produces a constant window in one of these queries, guard BOTH
+   sides as SQRT(GREATEST(d, 0)) — the guarded form is pre-validated
+   bit-exact (incl. tiny negatives and signed zero) by section 35's
+   property — which is an oracle rewrite and needs a window slot.
 """
 
 from __future__ import annotations

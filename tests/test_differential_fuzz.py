@@ -2543,3 +2543,112 @@ def test_double_to_int_guarded_cast_pairing(spark, seed):
     for v in set(vals):
         assert raw_s[v] == math.trunc(v), (seed, v, raw_s[v])
         assert raw_d[v] == round(v), (seed, v, raw_d[v])
+
+
+# ---------------------------------------------------------------------------
+# 35. math DOMAIN ERRORS and substring position 0 (round-11 probe, fifth
+#     and sixth real divergences): outside a function's real domain Spark
+#     returns a VALUE (NULL for ln/log10 of <= 0; NaN for sqrt/asin/acos
+#     violations) while DuckDB 1.0.0 RAISES — so a domain violation that
+#     reaches the oracle does not mis-hash, it KILLS the query. And
+#     substring('abcdef', 0, 3) is 'abc' in Spark (position 0 clamps to
+#     1 without consuming length) but 'ab' in DuckDB (the zero start
+#     consumes one unit of length); negative starts agree (count from
+#     the end). Declared-surface audits: every oracle substring start is
+#     a 1-based positive expression (grep: literal 1, 52, 2*i+1,
+#     i*len+1); every LN argument is a strictly positive rational by
+#     construction (BM25's (N-df+0.5)/(df+0.5), Benford's digit+1); every
+#     SQRT argument is either a self-dot product (sum of squares, never
+#     negative in IEEE) or a variance-style discriminant (sxx - sx*sx/n
+#     and n*sxx - sx*sx in stats/distribution/analytics) — non-negative
+#     in exact arithmetic, and at current fixtures never rounding below
+#     zero (every such query is adjudication-green, which an errored
+#     oracle could not be). The discriminant class is the WATCH ITEM:
+#     a zero-variance window whose squared sums exceed 2^53 could round
+#     to a tiny negative, making Spark emit NaN and DuckDB ERROR — the
+#     dialect-exact guard, pinned by the property below, is
+#     SQRT(GREATEST(d, 0)) on both sides (functions/exact.py ledger
+#     item 6 records the migration trigger).
+# ---------------------------------------------------------------------------
+
+
+def test_math_domain_error_boundary(spark):
+    """Spark: ln(-1)/log10(0) -> NULL, sqrt(-1)/asin(2) -> NaN. DuckDB
+    1.0.0: all four RAISE (Out of Range / Invalid Input). A
+    domain-violating input reaching an oracle kills the query rather
+    than mis-hashing it."""
+    row = spark.sql(
+        "SELECT ln(CAST(-1 AS DOUBLE)) AS a, log10(CAST(0 AS DOUBLE)) AS b, "
+        "sqrt(CAST(-1 AS DOUBLE)) AS c, asin(CAST(2 AS DOUBLE)) AS d"
+    ).collect()[0]
+    assert row["a"] is None and row["b"] is None
+    assert math.isnan(row["c"]) and math.isnan(row["d"])
+    con = duckdb.connect()
+    try:
+        for expr in (
+            "ln(-1.0::DOUBLE)",
+            "log10(0.0::DOUBLE)",
+            "sqrt(-1.0::DOUBLE)",
+            "asin(2.0::DOUBLE)",
+        ):
+            try:
+                con.execute(f"SELECT {expr}")
+                raise AssertionError(f"DuckDB did not raise for {expr}")
+            except duckdb.Error:
+                pass
+    finally:
+        con.close()
+
+
+def test_substring_zero_start_domain_boundary(spark):
+    """substring(s, 0, n): Spark clamps position 0 to 1 and returns n
+    chars; DuckDB spends one unit of length reaching position 1 and
+    returns n-1. Negative starts agree (count from the end). Every
+    production substring start is 1-based positive (audited in the
+    section comment)."""
+    got = spark.sql(
+        "SELECT substring('abcdef', 0, 3) AS z, substring('abcdef', -2, 3) AS m"
+    ).collect()[0]
+    con = duckdb.connect()
+    try:
+        exp = con.execute(
+            "SELECT substring('abcdef', 0, 3), substring('abcdef', -2, 3)"
+        ).fetchone()
+    finally:
+        con.close()
+    assert got["z"] == "abc" and exp[0] == "ab"  # the divergence
+    assert got["m"] == exp[1] == "ef"  # negative starts agree
+
+
+@settings(derandomize=True, max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_guarded_math_domain_pairing(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 40)
+    vals = []
+    for _ in range(n):
+        vals.append(
+            rng.choice(
+                [
+                    0.0,
+                    -0.0,
+                    -1e-12,  # the rounded-negative discriminant shape
+                    -5e-9,
+                    rng.random() * 1e6,
+                    -rng.random(),  # genuinely negative
+                    float(rng.randint(0, 10**6)),
+                ]
+            )
+        )
+    tbl = pa.table({"d": pa.array(vals, pa.float64())})
+    # the dialect-exact guarded forms: identical IEEE result on both
+    # engines for every input, including tiny negatives and signed zero
+    sql = """
+        SELECT d,
+               SQRT(GREATEST(d, 0)) AS sq,
+               LN(d * d + 1)        AS safelog,
+               SQRT(d * d)          AS selfdot
+        FROM fmd
+    """
+    got, exp = _both(spark, sql, {"fmd": tbl})
+    assert got == exp, (seed, got, exp)
