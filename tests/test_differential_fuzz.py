@@ -2652,3 +2652,104 @@ def test_guarded_math_domain_pairing(spark, seed):
     """
     got, exp = _both(spark, sql, {"fmd": tbl})
     assert got == exp, (seed, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 36. scalar edge-case contract batch (round-11 probe sweep): one more
+#     real divergence and a dozen agreements worth freezing. DIVERGENT:
+#     left()/right() with a NEGATIVE length — Spark returns '' while
+#     DuckDB 1.0.0 returns "all but the last/first |n| chars"
+#     (left('abcdef', -2) = '' vs 'abcd') — no oracle uses left/right
+#     (audited; the substring idiom is used everywhere). AGREEING, and
+#     pinned so an engine upgrade that flips any one fails loudly: split
+#     of an empty string yields [''] (not []), trailing separators yield
+#     trailing empties, LEAST/GREATEST skip NULLs (return the non-null
+#     extremum, not NULL), ROUND to negative digits, fmod sign follows
+#     the dividend on doubles, instr/strpos miss -> 0 and empty needle
+#     -> 1, split_part out-of-range -> '', concat_ws skips NULLs,
+#     repeat(s, -1) -> '', lpad truncates when the target is shorter,
+#     negative array index counts from the end (DuckDB [-1] == Spark
+#     element_at(-1)), md5('') is the RFC empty digest.
+# ---------------------------------------------------------------------------
+
+
+def test_left_right_negative_length_domain_boundary(spark):
+    got = spark.sql("SELECT left('abcdef', -2) AS l, right('abcdef', -2) AS r").collect()[0]
+    con = duckdb.connect()
+    try:
+        exp = con.execute("SELECT left('abcdef', -2), right('abcdef', -2)").fetchone()
+    finally:
+        con.close()
+    assert got["l"] == "" and got["r"] == ""  # Spark: clamp to empty
+    assert exp == ("abcd", "cdef")  # DuckDB: all-but-|n| semantics
+
+
+@settings(derandomize=True, max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 2**31))
+def test_scalar_edge_contract_pairing(spark, seed):
+    rng = random.Random(seed)
+    seps = [",", " ", "|"]
+    sep = rng.choice(seps)
+    words = ["", "a", "bb", "ccc", "a1"]
+    strs = [
+        sep.join(rng.choice(words) for _ in range(rng.randint(0, 5)))
+        for _ in range(rng.randint(1, 20))
+    ]
+    ints = [rng.choice([None, rng.randint(-100, 100)]) for _ in strs]
+    dbls = [rng.choice([7.5, -7.5, 1234.567, rng.randint(-10**4, 10**4) + 0.25]) for _ in strs]
+    tbl = pa.table(
+        {
+            "s": pa.array(strs, pa.string()),
+            "i": pa.array(ints, pa.int64()),
+            "d": pa.array(dbls, pa.float64()),
+            "id": pa.array(range(len(strs)), pa.int64()),
+        }
+    )
+    # Spark's split() is regex-based; escape the pipe so both engines
+    # split on the literal separator. Spark's SQL string literal consumes
+    # one backslash layer itself, so the literal needs TWO backslashes to
+    # deliver regex \| to split()
+    spark_sep = "\\\\|" if sep == "|" else sep
+    spark.createDataFrame(tbl).createOrReplaceTempView("fse")
+    got = _canon(
+        spark.sql(
+            f"""
+            SELECT id,
+                   size(split(s, '{spark_sep}'))                AS n_parts,
+                   split_part(s, '{sep}', 99)                   AS oob,
+                   LEAST(i, 5)                                  AS le,
+                   GREATEST(i, 5)                               AS ge,
+                   ROUND(d, -2)                                 AS rneg,
+                   MOD(d, CAST(2.0 AS DOUBLE))                  AS m,
+                   instr(s, 'zz')                               AS miss,
+                   concat_ws('-', 'x', CAST(NULL AS STRING), s) AS cw,
+                   repeat('ab', -1)                             AS rep,
+                   lpad(s, 2, 'x')                              AS lp
+            FROM fse
+            """
+        ).toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fse", tbl)
+        exp = _canon(
+            con.execute(
+                f"""
+                SELECT id,
+                       CAST(len(string_split(s, '{sep}')) AS INT) AS n_parts,
+                       split_part(s, '{sep}', 99)                 AS oob,
+                       LEAST(i, 5)                                AS le,
+                       GREATEST(i, 5)                             AS ge,
+                       ROUND(d, -2)                               AS rneg,
+                       MOD(d, 2.0::DOUBLE)                        AS m,
+                       CAST(instr(s, 'zz') AS BIGINT)             AS miss,
+                       concat_ws('-', 'x', NULL, s)               AS cw,
+                       repeat('ab', -1)                           AS rep,
+                       lpad(s, 2, 'x')                            AS lp
+                FROM fse
+                """
+            ).df()
+        )
+    finally:
+        con.close()
+    assert got == exp, (seed, sep, got, exp)
