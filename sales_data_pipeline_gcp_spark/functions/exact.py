@@ -134,13 +134,15 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
      (shim flip, slot) + q_window_range (inline-OVER, slot) +
      q_attribution and q_scan_evolved (both r6-vintage refreshers in the
      round-11 window — their migrations rode those slots for free, the
-     round-9/10 precedent). Ratchet after round 11: 5 names
-     (q_kmeans_iter, q_null_semantics, q_stream_tumbling,
-     q_subquery_scalar, q_window_frame — audited magnitude-safe, riding
-     future refresh slots: q_window_frame / q_null_semantics /
-     q_subquery_scalar are r7-vintage and ride the round-12 refresh
-     backlog; q_kmeans_iter / q_stream_tumbling are r8-vintage and ride
-     round 12's r8 head or round 13).
+     round-9/10 precedent). Ratchet after round 11: 5 names. ROUND-12
+     DEPARTURES — ITEM CLOSED: q_window_frame / q_null_semantics /
+     q_subquery_scalar rode their r7 refresh slots and q_kmeans_iter /
+     q_stream_tumbling were pulled one round ahead (q_stream_tumbling's
+     Spark side already ran exact_sum; only the oracle text flipped).
+     All audited magnitude-safe pre-flip; the string route removes the
+     audit dependence. DIRECT_CAST_LEGACY is EMPTY and
+     test_direct_decimal_cast_is_a_closed_set is a pure ban on the
+     idiom — the rounds-9..12 migration program is COMPLETE.
 3. ``spark.sql``-surface queries (sql_surface.py) execute ONE dialect-
    neutral text on both engines, so a single edit migrates both sides:
    q_sql_revenue_by_nation (scale 4, ~3.5e14 at sf1 — 1.4 orders of
@@ -182,14 +184,21 @@ audited at sf1, 2^53 boundary = 9.0e15 on the scaled integer):
    variance-style discriminant (sxx - sx*sx/n; n*sxx - sx*sx in
    stats.py / distribution.py / analytics.py), non-negative in exact
    arithmetic and measured non-negative at the shipped fixtures (all
-   adjudication-green, which an errored oracle could not be). WATCH:
-   a ZERO-VARIANCE window whose squared sums exceed 2^53 (bollinger's
-   reach ~6e20 at sf0.1) could round the discriminant to a tiny
-   negative — Spark would emit NaN, DuckDB would error. If a fixture
-   ever produces a constant window in one of these queries, guard BOTH
-   sides as SQRT(GREATEST(d, 0)) — the guarded form is pre-validated
-   bit-exact (incl. tiny negatives and signed zero) by section 35's
-   property — which is an oracle rewrite and needs a window slot.
+   adjudication-green, which an errored oracle could not be). WATCH
+   (being closed proactively, round-11 VERDICT item 3): a ZERO-VARIANCE
+   window whose squared sums exceed 2^53 (bollinger's reach ~6e20 at
+   sf0.1) could round the discriminant to a tiny negative — Spark would
+   emit NaN, DuckDB would error. Guard BOTH sides as
+   SQRT(GREATEST(d, 0)) — pre-validated bit-exact (incl. tiny negatives
+   and signed zero) by fuzz section 35. GUARD SCHEDULE (each rewrite
+   rides the query's natural refresh slot): q_bollinger_bands — the only
+   MEASURED past-2^53 discriminant — DONE in round 12 (head swap,
+   registry.py); q_agg_stats / q_outlier_zscore / q_acf ride their r9
+   slots in round 13 (planned, registry.py ROUND-13 plan); q_ab_ttest /
+   q_rolling_corr ride round 14 (r10 vintage); q_spearman_corr rides
+   round 15 (r11 vintage). Self-dot SQRT arguments (embedding cosines,
+   counts) are sums of non-negative IEEE terms and need no guard. Item
+   closes fully when the last guard lands in round 15.
 """
 
 from __future__ import annotations

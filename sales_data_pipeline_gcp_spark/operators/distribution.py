@@ -285,16 +285,21 @@ BOLL_K = 2.0
         FROM daily
         WINDOW w AS (ORDER BY d ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
     )
+    , bands AS (
+        SELECT d, rev_c, n_w, sx,
+               SQRT(GREATEST((sxx - sx * sx / {BOLL_WINDOW}) / {BOLL_WINDOW - 1}, 0)) AS sdev
+        FROM rolled
+    )
     SELECT d, CAST(rev_c AS DOUBLE) / 1e2 AS revenue,
            sx / {BOLL_WINDOW} / 1e2 AS ma,
-           SQRT((sxx - sx * sx / {BOLL_WINDOW}) / {BOLL_WINDOW - 1}) / 1e2 AS sd,
-           (sx / {BOLL_WINDOW} + {BOLL_K} * SQRT((sxx - sx * sx / {BOLL_WINDOW}) / {BOLL_WINDOW - 1})) / 1e2 AS upper_band,
-           (sx / {BOLL_WINDOW} - {BOLL_K} * SQRT((sxx - sx * sx / {BOLL_WINDOW}) / {BOLL_WINDOW - 1})) / 1e2 AS lower_band,
+           sdev / 1e2 AS sd,
+           (sx / {BOLL_WINDOW} + {BOLL_K} * sdev) / 1e2 AS upper_band,
+           (sx / {BOLL_WINDOW} - {BOLL_K} * sdev) / 1e2 AS lower_band,
            CAST(CASE
-                WHEN CAST(rev_c AS DOUBLE) > sx / {BOLL_WINDOW} + {BOLL_K} * SQRT((sxx - sx * sx / {BOLL_WINDOW}) / {BOLL_WINDOW - 1}) THEN 1
-                WHEN CAST(rev_c AS DOUBLE) < sx / {BOLL_WINDOW} - {BOLL_K} * SQRT((sxx - sx * sx / {BOLL_WINDOW}) / {BOLL_WINDOW - 1}) THEN -1
+                WHEN CAST(rev_c AS DOUBLE) > sx / {BOLL_WINDOW} + {BOLL_K} * sdev THEN 1
+                WHEN CAST(rev_c AS DOUBLE) < sx / {BOLL_WINDOW} - {BOLL_K} * sdev THEN -1
                 ELSE 0 END AS INTEGER) AS breakout
-    FROM rolled
+    FROM bands
     WHERE n_w = {BOLL_WINDOW}
     """,
     doc=f"Bollinger bands over daily revenue: {BOLL_WINDOW}-period rolling "
@@ -309,7 +314,11 @@ BOLL_K = 2.0
     "amplifies into the sd/band digits — measured 23/2399 divergent rows "
     "at sf0.1 and 6/2399 at sf1 with the old direct cast (round-8 sf1 "
     "parity sweep; see functions/exact.py). Variance comes from the "
-    "sum-of-squares formula in identical IEEE ops, sqrt is IEEE-exact. "
+    "sum-of-squares formula in identical IEEE ops, sqrt is IEEE-exact; "
+    "the discriminant is guarded SQRT(GREATEST(d, 0)) both sides so a "
+    "zero-variance window rounding to a tiny negative yields sd = 0 on "
+    "both engines instead of Spark NaN vs DuckDB error (exact.py ledger "
+    "item 6, closed round 12). "
     "Warm-up rows with fewer "
     f"than {BOLL_WINDOW} periods are excluded structurally rather than "
     "emitting degenerate bands. At 100 TB: the scan collapses map-side "
@@ -334,7 +343,12 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = F.lit(float(BOLL_WINDOW))
     sx, sxx = F.col("sx"), F.col("sxx")
     ma = sx / nw
-    sd = F.sqrt((sxx - sx * sx / nw) / F.lit(float(BOLL_WINDOW - 1)))
+    # SQRT(GREATEST(d, 0)) both sides: a zero-variance window whose squared
+    # sums exceed 2^53 can round the discriminant to a tiny negative —
+    # Spark would emit NaN while DuckDB RAISES (exact.py ledger item 6,
+    # closed round 12). Guarded form pre-validated bit-exact, incl. tiny
+    # negatives and signed zero (tests/test_differential_fuzz.py §35).
+    sd = F.sqrt(F.greatest((sxx - sx * sx / nw) / F.lit(float(BOLL_WINDOW - 1)), F.lit(0)))
     upper = ma + F.lit(BOLL_K) * sd
     lower = ma - F.lit(BOLL_K) * sd
     rev_d = F.col("rev_c").cast("double")

@@ -41,7 +41,7 @@ def _nulled(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT flag,
            COUNT(*)                       AS n_rows,
            COUNT(qty)                     AS n_qty,       -- NULLs skipped
-           CAST(SUM(CAST(qty AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty, -- NULL if all NULL
+           CAST(CAST(SUM(CAST(qty AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_qty, -- NULL if all NULL
            COUNT(*) - COUNT(qty)          AS n_null_qty,
            COUNT(DISTINCT qty)            AS n_distinct_qty -- NULL excluded
     FROM nulled
@@ -57,7 +57,7 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("flag").agg(
         F.count("*").alias("n_rows"),
         F.count("qty").alias("n_qty"),
-        F.sum(F.col("qty").cast("decimal(38,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("qty").cast("decimal(38,2)")).cast("string").cast("double").alias("sum_qty"),
         (F.count("*") - F.count("qty")).alias("n_null_qty"),
         F.countDistinct("qty").alias("n_distinct_qty"),
     )

@@ -390,8 +390,10 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frame",
     oracle=f"""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) OVER w_run AS DOUBLE) AS running_rev,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) OVER w_5 AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) OVER w_run
+                AS VARCHAR) AS DOUBLE) AS running_rev,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) OVER w_5
+                AS VARCHAR) AS DOUBLE)
              / COUNT(*) OVER w_5 AS moving_avg_5
     FROM lineitem
     WINDOW
@@ -420,8 +422,11 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(dec_price).over(w_run).cast("double").alias("running_rev"),
-        (F.sum(dec_price).over(w_5).cast("double") / F.count(F.lit(1)).over(w_5)).alias("moving_avg_5"),
+        F.sum(dec_price).over(w_run).cast("string").cast("double").alias("running_rev"),
+        (
+            F.sum(dec_price).over(w_5).cast("string").cast("double")
+            / F.count(F.lit(1)).over(w_5)
+        ).alias("moving_avg_5"),
     )
 
 

@@ -334,7 +334,8 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cell, CAST(dim AS INTEGER) AS dim,
            COUNT(*) AS n_members,
-           CAST(SUM(CAST(val AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS mean_val
+           CAST(CAST(SUM(CAST(val AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS mean_val
     FROM exploded GROUP BY cell, dim
     """,
     doc=f"One Lloyd iteration of k-means (k={KMEANS_K}, centroids seeded "
@@ -366,7 +367,7 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exploded.groupBy("cell", "dim").agg(
         F.count("*").alias("n_members"),
-        (F.sum(dec(F.col("val"), 8)).cast("double") / F.count("*")).alias("mean_val"),
+        (F.sum(dec(F.col("val"), 8)).cast("string").cast("double") / F.count("*")).alias("mean_val"),
     )
 
 

@@ -40,7 +40,7 @@ _GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
     SELECT (epoch_ns(ts) // {_TUMBLE_SEC * NS_PER_SECOND}) * {_TUMBLE_SEC} AS bucket_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

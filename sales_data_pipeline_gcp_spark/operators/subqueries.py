@@ -26,7 +26,8 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+    WHERE o_totalprice > 1.5 * (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                                              AS VARCHAR) AS DOUBLE)
                                        / COUNT(*) FROM orders)
     """,
     doc="Uncorrelated scalar subquery: orders above 1.5x the global average "
@@ -36,10 +37,14 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(
+        # STRING, not VARCHAR: Spark's parser rejects bare VARCHAR (needs a
+        # length) while the oracle's dialect spells the same string route
+        # AS VARCHAR — same exactness argument (functions/exact.py).
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+        WHERE o_totalprice > 1.5 * (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                                                  AS STRING) AS DOUBLE)
                                            / COUNT(*) FROM orders)
         """
     )

@@ -108,6 +108,125 @@ def _load_all_modules() -> None:
 #: equivalent for already-green queries. Rotate per round so every query
 #: eventually carries a driver-adjudicated row.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- round-12 rotation: executed per the committed ROUND-12 plan
+    # (archived below with _ROUND11_WINDOW_HISTORY) with the round-11
+    # VERDICT's corrections (items 1-3). Slot accounting, 50/50:
+    #  36  the ENTIRE round-7-vintage oracled refresh backlog in
+    #      registration order (recomputed from the committed
+    #      CORRECTNESS_r01-r11 union as the VERDICT directed: 37 queries
+    #      sat at r7, minus rows-only q_stream_join_outer; the plan's
+    #      "38" was stale — two r7 rows were refreshed en route, freeing
+    #      2 slots). At the round-13 commit an unrefreshed r7 row would
+    #      be age 6 > K=5. THREE of these carried DIRECT_CAST_LEGACY
+    #      oracles (q_window_frame, q_null_semantics, q_subquery_scalar —
+    #      all magnitude-audited safe); their string-route migrations
+    #      RIDE these refresh slots (the r9/r10/r11 precedent), both
+    #      sides flipped in this commit.
+    #   2  q_kmeans_iter + q_stream_tumbling — the LAST two
+    #      DIRECT_CAST_LEGACY members, pulled one round ahead of their
+    #      r8 refresh turn (q_stream_tumbling's Spark side already ran
+    #      exact_sum; only its oracle text flips). After these the
+    #      ratchet set is EMPTY and test_direct_decimal_cast_is_a_closed_set
+    #      is a pure idiom ban — the rounds-9..12 migration program is
+    #      COMPLETE (exact.py ledger item 2 closed).
+    #   2  the slots freed by the recompute, spent per round-11 VERDICT
+    #      item 2: q_stream_dedup + q_stream_join, the r6-vintage
+    #      rows-only streaming adjudications (lint-excluded — no hash
+    #      evidence to refresh; a slot buys only fresh rows evidence,
+    #      but after 6 rounds a current driver row removes the freshness
+    #      table's only pre-r7 stragglers).
+    #  10  the round-8-vintage oracled refresh head, registration order
+    #      with ONE documented swap: q_bollinger_bands (r8 tail) replaces
+    #      q_dedup_embedding (head #10) per round-11 VERDICT item 3 — the
+    #      SQRT(GREATEST(d, 0)) guard (exact.py ledger watch item 6,
+    #      pre-validated by fuzz §35) rides its slot. Bollinger is the
+    #      only MEASURED past-2^53 discriminant, the watch item's named
+    #      trigger class; q_dedup_embedding refreshes in round 13 at age
+    #      5 = K — due, not stale.
+    # round-7-vintage refresh backlog (all of it), registration order
+    "q_join_semi_anti",
+    "q_window_lag",
+    "q_window_frame",
+    "q_topk",
+    "q_set_union",
+    "q_math_scalars",
+    "q_array_scalars",
+    "q_json_extract",
+    "q_knn_join",
+    "q_sim_pq_adc",
+    "q_text_tokens",
+    "q_text_termstats",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_scan_csv_schema",
+    "q_scan_json",
+    "q_pivot",
+    "q_unpivot",
+    "q_map_functions",
+    "q_window_firstlast",
+    "q_array_predicates",
+    "q_window_percentrank",
+    "q_grouped_trend",
+    "q_grouped_trend_sql",
+    "q_merge_upsert",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_sample_hash",
+    "q_udf_vectorized",
+    "q_graph_sssp",
+    "q_null_semantics",
+    "q_null_safe_join",
+    "q_agg_filtered",
+    "q_sketch_cms",
+    "q_histogram",
+    # the two pulled-ahead ratchet-emptying migrations
+    "q_kmeans_iter",
+    "q_stream_tumbling",
+    # freed slots: r6-vintage rows-only streaming evidence refreshers
+    "q_stream_dedup",
+    "q_stream_join",
+    # round-8-vintage refresh head (one documented swap, see above)
+    "q_agg_group",
+    "q_agg_cube",
+    "q_agg_global",
+    "q_join_inner",
+    "q_join_star",
+    "q_string_scalars",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_embedding_lsh",
+    "q_bollinger_bands",
+)
+
+
+#: ROUND-13 ROTATION PLAN (written at the round-12 commit, assuming the
+#: r12 window goes green; slot accounting 50/50 — ZERO spares):
+#:  37  the ENTIRE remaining round-8-vintage oracled refresh backlog in
+#:      registration order (49 r8-vintage queries total, minus the 12
+#:      refreshed in round 12: the 9 surviving head names +
+#:      q_bollinger_bands + the two pulled-ahead migrations). This
+#:      includes q_dedup_embedding, displaced from the round-12 head by
+#:      the bollinger guard swap. At the round-14 commit an unrefreshed
+#:      r8 row would be age 6 > K=5.
+#:  13  the round-9-vintage oracled refresh head (49 r9 queries total),
+#:      registration order with THREE documented swaps: q_agg_stats,
+#:      q_outlier_zscore, q_acf (all r9) replace the last three plain
+#:      head names — their variance-discriminant oracles take the same
+#:      SQRT(GREATEST(d, 0)) guard bollinger took in round 12 (exact.py
+#:      ledger item 6 schedule), riding their natural r9 refresh slots.
+#:      The displaced names refresh in round 14 at age 5 = K — due, not
+#:      stale. Remaining discriminant holders ride later natural slots:
+#:      q_ab_ttest + q_rolling_corr (r10 vintage, round 14),
+#:      q_spearman_corr (r11 vintage, round 15).
+#: PRECEDENCE (the bollinger/acf/emergency clause, unchanged): a
+#: measured at-scale cross-engine divergence or a failed round gate
+#: displaces, in order, (1) the r9 head slots (guard swaps last), and
+#: NEVER the 37 freshness-critical r8 refreshers — displacing one of
+#: those would fail test_adjudication_freshness at the round-14 commit.
+
+
+_ROUND11_WINDOW_HISTORY: tuple[str, ...] = (
     # ---- round-11 rotation: executed exactly as the round-10 plan wrote
     # it (the ROUND-11 ROTATION PLAN block archived below with
     # _ROUND10_WINDOW_HISTORY, and round-10 VERDICT items 2/3/6). Slot
@@ -212,35 +331,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
-#: ROUND-12 ROTATION PLAN (written at the round-11 commit, assuming the
-#: r11 window goes green; slot accounting 50/50 — ZERO spare slots, the
-#: tightest budget since round 8's backlog-tail round):
-#:  38  the ENTIRE round-7-vintage oracled refresh backlog in
-#:      registration order (39 queries sat at r7 after round 10, minus
-#:      rows-only q_stream_join_outer — no refreshable hash evidence).
-#:      At the round-13 commit an unrefreshed r7 row would be age
-#:      6 > K=5. THREE of these carry DIRECT_CAST_LEGACY oracles
-#:      (q_window_frame, q_null_semantics, q_subquery_scalar — all
-#:      magnitude-audited safe, exact.py ledger item 2); their
-#:      string-route migrations RIDE these refresh slots for free.
-#:   2  q_kmeans_iter + q_stream_tumbling — the LAST two
-#:      DIRECT_CAST_LEGACY members (r8-vintage; pulled one round ahead
-#:      of their plain refresh turn so their migrations ride slots that
-#:      double as early r8 refreshes). After these land the ratchet set
-#:      is EMPTY and test_direct_decimal_cast_is_a_closed_set degenerates
-#:      to a pure ban on the idiom — the three-round migration program
-#:      (rounds 9-12) is complete.
-#:  10  the round-8-vintage oracled refresh head, registration order
-#:      (49 r8-vintage queries total; the remaining 39 lead round 13's
-#:      rotation, joined by the r8 tail + early r9 rows — the freshness
-#:      math holds: r8 rows are age 5 = K at the round-13 commit, due
-#:      but not yet stale).
-#: PRECEDENCE (the bollinger/acf/emergency clause, unchanged): a
-#: measured at-scale cross-engine divergence or a failed round gate
-#: displaces, in order, (1) the r8 head slots, (2) the two pulled-ahead
-#: migrations (they revert to their natural r8/r13 turns), and NEVER the
-#: 38 freshness-critical r7 refreshers — displacing one of those would
-#: fail test_adjudication_freshness at the round-13 commit.
+# (The ROUND-12 ROTATION PLAN that stood here was executed as the live
+# DRIVER_WINDOW above, with the round-11 VERDICT's recompute correction:
+# the r7 backlog measured 36, not the plan's stale 38; the 2 freed slots
+# went to the r6-vintage rows-only streaming refreshers per VERDICT
+# item 2, and the bollinger guard swap rode the r8 head per item 3.)
 
 
 _ROUND10_WINDOW_HISTORY: tuple[str, ...] = (

@@ -2427,9 +2427,11 @@ def test_case_audit_fixture_ascii():
     per test_normalize_pipeline_case_pairing."""
     import os
 
+    audited_any = False
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         if not os.path.isdir(sf):
             continue
+        audited_any = True
         con = duckdb.connect()
         try:
             bad = con.execute(
@@ -2450,6 +2452,12 @@ def test_case_audit_fixture_ascii():
         finally:
             con.close()
         assert bad == 0 and bad_part == 0, (sf, bad, bad_part)
+    if not audited_any:
+        # round-11 ADVICE: on a checkout without the shipped fixtures the
+        # migration trigger must be VISIBLY skipped, not silently green
+        # (the explicit skip-when-absent pattern of
+        # test_percentile_tie_audit.py's derived-sf1 check).
+        pytest.skip("fixtures not present — ASCII case audit not run")
 
 
 # ---------------------------------------------------------------------------

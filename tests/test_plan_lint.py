@@ -275,17 +275,17 @@ def test_coverage_count_in_sync():
 #: functions/exact.py migration ledger; the highest-magnitude class
 #: (q_agg_stats / q_ols_regression, ~4.5e16 scaled at sf1) is pinned
 #: hash-green in PARITY_SF1.json as the tripwire.
-DIRECT_CAST_LEGACY = {
-    # all 9 sql_sum_direct shim sites are migrated and the shim DELETED
-    # (q_join_right flipped on its round-11 slot); q_window_range's
-    # inline-OVER cast string-routed on its round-11 slot; q_attribution
-    # and q_scan_evolved rode their round-11 r6-refresh slots (the
-    # round-9/10 ride precedent). Remaining 5, audited magnitude-safe
-    # (exact.py ledger item 2), riding future refresh slots:
-    "q_kmeans_iter", "q_null_semantics",
-    "q_stream_tumbling", "q_subquery_scalar",
-    "q_window_frame",
-}
+DIRECT_CAST_LEGACY: set = set(
+    # EMPTY since round 12 — the rounds-9..12 migration program is
+    # complete: all 9 sql_sum_direct shim sites migrated and the shim
+    # DELETED (r9-r11), q_window_range's inline-OVER cast string-routed
+    # (r11), and the last 5 inline sites (q_window_frame,
+    # q_null_semantics, q_subquery_scalar riding their r7 refresh slots;
+    # q_kmeans_iter, q_stream_tumbling pulled ahead) flipped in round 12.
+    # The ratchet test below is now a PURE BAN on the idiom: every oracle
+    # sum is string-routed (functions/exact.py sql_sum / sql_avg or the
+    # literal CAST(CAST(.. AS VARCHAR) AS DOUBLE) spelling).
+)
 
 
 def test_direct_decimal_cast_is_a_closed_set():
@@ -455,10 +455,20 @@ def test_test_sql_strings_guard_fractional_literal_arithmetic():
             return "".join(parts)
         return None
 
-    interp_arith = re.compile(r"\{X\}\s*[*/%+]|[*/%+]\s*\{X\}")
+    # '-' is in the operator classes too (round-11 ADVICE: '{X} - expr'
+    # escaped the guard), but only as a BINARY minus — the standalone
+    # minus branches require an operand ([\w)]) before the '-', so a
+    # unary minus on a numeric literal (SELECT -0.3333333333 AS c) or
+    # after '(' / ',' is not arithmetic and is not flagged. A minus
+    # AFTER the literal/placeholder is always binary (operand precedes).
+    interp_arith = re.compile(
+        r"\{X\}\s*[*/%+-]|[*/%+]\s*\{X\}|[\w)]\s*-\s*\{X\}"
+    )
     guarded = re.compile(r"CAST\(\{X\}\s+AS\s+(DOUBLE|FLOAT|REAL)\)", re.I)
     long_frac_arith = re.compile(
-        r"(?<!['\d.])\d*\.\d{10,}\s*[*/%+]|[*/%+]\s*(?<!['\d.])\d*\.\d{10,}"
+        r"(?<!['\d.])\d*\.\d{10,}\s*[*/%+-]"
+        r"|[*/%+]\s*(?<!['\d.])\d*\.\d{10,}"
+        r"|[\w)]\s*-\s*(?<!['\d.])\d*\.\d{10,}"
     )
     offenders: list[str] = []
     for path in sorted(glob.glob(os.path.join(here, "*.py"))):
