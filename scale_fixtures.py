@@ -286,6 +286,90 @@ def sf1_dense() -> None:
         )
 
 
+SF10G_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf10g")
+
+
+def sf10_graph() -> None:
+    """Derive the SECOND decade for the graph/dedup cost-leader family
+    (round-11 VERDICT item 5): .scale/sf10g = 10 key-shifted replicas of
+    the DERIVED sf1 for the tables those queries read — documents
+    (~500k docs) for the prefix-filter/clusters/triangles family and the
+    consistent orders/lineitem/customer/supplier/part trade graph
+    (~60M lineitem rows, ~10x entities at constant degree) for pagerank.
+    Everything else symlinks to ../sf1 (same pattern as .scale/sf10;
+    scale_report.py --sf10g enforces the whitelist).
+
+    The document salt uses a FRESH token family (``zr{i}w``, not sf1's
+    ``zq{i}v``): sf1 docs already carry zq-salts from the first decade,
+    and reusing the same family would let (sf1-replica j, sf10g-replica
+    i) and (j', i') docs share salt TOKENS across decades — the fresh
+    family keeps every cross-replica pair's shingle overlap dominated by
+    the base text exactly as in the first decade (measured cross-replica
+    3-gram Jaccard ~0.39 there, far below every query threshold)."""
+    spark = get_spark("scale-fixtures-sf10g")
+    os.makedirs(SF10G_OUT, exist_ok=True)
+    read = lambda t: spark.read.parquet(os.path.join(OUT, f"{t}.parquet"))
+
+    li, od, cu, su, pa = (read(t) for t in ("lineitem", "orders", "customer", "supplier", "part"))
+    u_order = _shift_unit(od, "o_orderkey")
+    u_cust = _shift_unit(cu, "c_custkey")
+    u_supp = _shift_unit(su, "s_suppkey")
+    u_part = _shift_unit(pa, "p_partkey")
+
+    def replicate(df: DataFrame, shifts: dict[str, int], extra=None) -> DataFrame:
+        parts = []
+        for i in range(REPLICAS):
+            r = df
+            for col, unit in shifts.items():
+                r = r.withColumn(col, F.col(col) + F.lit(i * unit))
+            if extra is not None:
+                r = extra(r, i)
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    docs = read("documents")
+    u_doc = _shift_unit(docs, "doc_id")
+
+    def salt_doc(r: DataFrame, i: int) -> DataFrame:
+        if i == 0:
+            return r
+        salted = F.regexp_replace("text", r"((?:\S+\s+){5})", f"$1zr{i}w ")
+        return r.withColumn("text", salted).withColumn("n_chars", F.length("text"))
+
+    jobs = {
+        "documents": replicate(docs, {"doc_id": u_doc}, salt_doc),
+        "lineitem": replicate(
+            li, {"l_orderkey": u_order, "l_partkey": u_part, "l_suppkey": u_supp}
+        ),
+        "orders": replicate(od, {"o_orderkey": u_order, "o_custkey": u_cust}),
+        "customer": replicate(cu, {"c_custkey": u_cust}),
+        "supplier": replicate(su, {"s_suppkey": u_supp}),
+        "part": replicate(pa, {"p_partkey": u_part}),
+    }
+    for t, df in jobs.items():
+        dest = f"{SF10G_OUT}/{t}.parquet"
+        df.write.mode("overwrite").parquet(dest)
+        print(f"{t}: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+    for t in "region nation events embeddings".split():
+        link = f"{SF10G_OUT}/{t}.parquet"
+        if not os.path.lexists(link):
+            os.symlink(f"../sf1/{t}.parquet", link)
+    with open(f"{SF10G_OUT}/README.md", "w") as f:
+        f.write(
+            "Graph/dedup second decade: documents and the trade-graph\n"
+            "tables (orders/lineitem/customer/supplier/part) are 10\n"
+            "key-shifted replicas of ../sf1 with consistent shifts and a\n"
+            "fresh document-salt family (zr{i}w); events/embeddings/\n"
+            "region/nation are symlinks to ../sf1. COST fixture only —\n"
+            "valid for the scale_report.py --sf10g whitelist\n"
+            "(SF10G_QUERIES); correctness stays adjudicated at sf0.01.\n"
+        )
+
+
 if __name__ == "__main__":
     if "--fresh-vocab" in sys.argv:
         fresh_vocab()
@@ -293,5 +377,7 @@ if __name__ == "__main__":
         sf10_lineitem()
     elif "--dense" in sys.argv:
         sf1_dense()
+    elif "--sf10g" in sys.argv:
+        sf10_graph()
     else:
         main()

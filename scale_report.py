@@ -217,12 +217,84 @@ SF1DENSE_QUERIES = [
     "q_graph_sssp",
 ]
 
+#: the graph/dedup SECOND decade (round-11 VERDICT item 5): sf1 ->
+#: .scale/sf10g (scale_fixtures.py --sf10g: documents + the consistent
+#: trade graph replicated 10x from sf1, fresh salt family). Whitelist
+#: enforced because sf10g symlinks events/embeddings to sf1 — only
+#: queries reading documents or the trade graph measure a true decade.
+SF10G_DIR = "/root/repo/.scale/sf10g"
+SF10G_QUERIES = [
+    "q_dedup_prefix_filter",   # df-ordered AllPairs/PPJoin (df-sensitive extreme)
+    "q_dedup_clusters",        # LSH pairs -> star-contraction components
+    "q_pagerank",              # 3 Pregel-class rounds over the trade graph
+    "q_graph_triangles",       # exact-edge triangle enumeration
+    "q_graph_triangles_lsh",   # LSH-fed production twin (control)
+    "q_dedup_minhash",         # banded MinHash-LSH (candidate-bounded control)
+]
+
+
+def _two_dir_worker(name: str, base_dir: str, big_dir: str) -> None:
+    """Fresh-process measurement of one query at base_dir then big_dir
+    (the generic form of --sf1-worker, for decades whose BASELINE is not
+    sf0.1)."""
+    spark = get_spark(f"decade-{name}")
+    fn = registry.all_queries()[name].fn
+    t_base = _measure(spark, fn, base_dir)
+    t_big = _measure(spark, fn, big_dir)
+    print(
+        f"DECROW | {name} | {t_base:.2f} | {t_big:.2f} | {t_big / t_base:.1f}x |",
+        flush=True,
+    )
+    spark.stop()
+
+
+def two_dir_main(queries: list[str], base_dir: str, big_dir: str) -> None:
+    import subprocess
+    import sys as _sys
+
+    bad = sorted(set(queries) - set(SF10G_QUERIES))
+    if big_dir == SF10G_DIR and bad:
+        raise SystemExit(
+            f"refusing to run {bad} against .scale/sf10g: events/embeddings "
+            f"are sf1 symlinks there; whitelisted: {sorted(SF10G_QUERIES)}"
+        )
+    print(
+        f"| query | {os.path.basename(base_dir)} s | "
+        f"{os.path.basename(big_dir)} s | x |"
+    )
+    print("|---|---|---|---|")
+    for name in queries:
+        proc = subprocess.run(
+            [
+                _sys.executable,
+                os.path.abspath(__file__),
+                "--two-dir-worker",
+                name,
+                base_dir,
+                big_dir,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        rows = [l for l in proc.stdout.splitlines() if l.startswith("DECROW")]
+        if proc.returncode != 0 or not rows:
+            print(f"| {name} | FAILED (rc={proc.returncode}) | | |")
+            print(proc.stderr[-1500:], file=_sys.stderr)
+            continue
+        print(rows[0].removeprefix("DECROW "))
+
 
 if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 2 and sys.argv[1] == "--sf1-worker":
         _sf1_worker(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else SF1_DIR)
+    elif len(sys.argv) > 4 and sys.argv[1] == "--two-dir-worker":
+        _two_dir_worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sf10g":
+        two_dir_main(
+            SF10G_QUERIES if len(sys.argv) == 2 else sys.argv[2:], SF1_DIR, SF10G_DIR
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--sf1":
         sf1_main(SF1_QUERIES if len(sys.argv) == 2 else sys.argv[2:], SF1_DIR)
     elif len(sys.argv) > 1 and sys.argv[1] == "--sf1fv":

@@ -495,3 +495,33 @@ def test_test_sql_strings_guard_fractional_literal_arithmetic():
         "wrap the literal as CAST(... AS DOUBLE) or bind it as a "
         "parameter"
     )
+
+
+def test_oracle_regexp_replace_is_global():
+    """DuckDB 1.0.0 regexp_replace replaces only the FIRST match unless
+    the 'g' flag is passed; Spark replaces ALL matches and takes no flag
+    (tests/test_differential_fuzz.py section 40). An oracle
+    regexp_replace WITHOUT 'g' therefore silently computes different
+    strings. Structural: every oracle regexp_replace call must carry a
+    flags argument containing 'g'."""
+    bad = []
+    for name, q in ALL.items():
+        if not q.oracle:
+            continue
+        for m in re.finditer(r"regexp_replace\s*\(", q.oracle, re.I):
+            # walk to the call's closing paren and check the final
+            # argument is a flag string containing 'g'
+            depth, i = 1, m.end()
+            while i < len(q.oracle) and depth:
+                if q.oracle[i] == "(":
+                    depth += 1
+                elif q.oracle[i] == ")":
+                    depth -= 1
+                i += 1
+            call = q.oracle[m.end() : i - 1]
+            if not re.search(r",\s*'[^']*g[^']*'\s*$", call):
+                bad.append((name, call[:60].replace("\n", " ")))
+    assert not bad, (
+        f"oracle regexp_replace without a 'g' flag (DuckDB replaces only "
+        f"the first match): {bad}"
+    )
