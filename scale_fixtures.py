@@ -299,13 +299,31 @@ def sf10_graph() -> None:
     Everything else symlinks to ../sf1 (same pattern as .scale/sf10;
     scale_report.py --sf10g enforces the whitelist).
 
-    The document salt uses a FRESH token family (``zr{i}w``, not sf1's
-    ``zq{i}v``): sf1 docs already carry zq-salts from the first decade,
-    and reusing the same family would let (sf1-replica j, sf10g-replica
-    i) and (j', i') docs share salt TOKENS across decades — the fresh
-    family keeps every cross-replica pair's shingle overlap dominated by
-    the base text exactly as in the first decade (measured cross-replica
-    3-gram Jaccard ~0.39 there, far below every query threshold)."""
+    The document replication uses the FRESH-VOCABULARY transform (every
+    token suffixed ``~s{i}``), NOT sf1's inserted-salt design — the salt
+    design breaks down at the second decade, in BOTH directions, each
+    measured on a discarded build:
+
+    - 5-word salt period (sf1's design, fresh token family): crossing
+      sf1's zq salts with a new zr family leaves every (zq_j, zr_i) pair
+      of the same base doc at ~0.39 shingle Jaccard, so each base doc
+      sits in a 100-clone moderate-similarity CLIQUE and banded-LSH
+      candidate volume grows with clique size squared — q_dedup_minhash
+      (the candidate-bounded control!) measured 32x for the 10x decade.
+    - 2-word salt period (dense): cross-replica Jaccard does hit 0, but
+      a salt in every 3-word shingle REDUCES THE EFFECTIVE N-GRAM ORDER
+      to bigram+salt — unrelated same-replica docs then collide at
+      bigram-level similarity and the LSH bucket join exploded 169x
+      (1.1M -> 188M candidate pairs; q_dedup_minhash 56x).
+
+    The per-token suffix has neither failure: it is a BIJECTIVE token
+    rename, so within-replica similarity (what the queries measure) is
+    preserved EXACTLY, shingle order stays 3 real words, and
+    cross-replica shingle sets are fully disjoint. Regime note: each
+    token's df stays at its sf1 value and vocabulary grows 10x — this
+    decade measures the Heaps-law fresh-vocabulary bracket, the
+    OPPOSITE of the df-saturated sf0.1->sf1 decade (SCALING.md reports
+    which regime each decade covers; a real corpus sits between)."""
     spark = get_spark("scale-fixtures-sf10g")
     os.makedirs(SF10G_OUT, exist_ok=True)
     read = lambda t: spark.read.parquet(os.path.join(OUT, f"{t}.parquet"))
@@ -336,8 +354,10 @@ def sf10_graph() -> None:
     def salt_doc(r: DataFrame, i: int) -> DataFrame:
         if i == 0:
             return r
-        salted = F.regexp_replace("text", r"((?:\S+\s+){5})", f"$1zr{i}w ")
-        return r.withColumn("text", salted).withColumn("n_chars", F.length("text"))
+        # bijective per-token rename (see sf10_graph docstring — both
+        # inserted-salt variants melt down at this decade)
+        renamed = F.regexp_replace("text", r"(\S+)", f"$1~s{i}")
+        return r.withColumn("text", renamed).withColumn("n_chars", F.length("text"))
 
     jobs = {
         "documents": replicate(docs, {"doc_id": u_doc}, salt_doc),
@@ -362,11 +382,17 @@ def sf10_graph() -> None:
         f.write(
             "Graph/dedup second decade: documents and the trade-graph\n"
             "tables (orders/lineitem/customer/supplier/part) are 10\n"
-            "key-shifted replicas of ../sf1 with consistent shifts and a\n"
-            "fresh document-salt family (zr{i}w); events/embeddings/\n"
+            "key-shifted replicas of ../sf1 with consistent shifts;\n"
+            "documents use the per-token ~s{i} rename (bijective:\n"
+            "within-replica similarity exact, cross-replica shingles\n"
+            "disjoint — BOTH inserted-salt designs melt down at this\n"
+            "decade, see scale_fixtures.sf10_graph); events/embeddings/\n"
             "region/nation are symlinks to ../sf1. COST fixture only —\n"
             "valid for the scale_report.py --sf10g whitelist\n"
             "(SF10G_QUERIES); correctness stays adjudicated at sf0.01.\n"
+            "NOTE: this decade measures the fresh-vocabulary df regime\n"
+            "(per-token df stays ~sf1); the sf0.1->sf1 decade measures\n"
+            "the df-saturated regime. A real corpus sits between.\n"
         )
 
 

@@ -224,13 +224,40 @@ SF1DENSE_QUERIES = [
 #: queries reading documents or the trade graph measure a true decade.
 SF10G_DIR = "/root/repo/.scale/sf10g"
 SF10G_QUERIES = [
-    "q_dedup_prefix_filter",   # df-ordered AllPairs/PPJoin (df-sensitive extreme)
+    # cheap-first so a budget-capped tail row cannot starve the rest
+    "q_dedup_minhash",         # banded MinHash-LSH (candidate-bounded control)
+    "q_graph_triangles_lsh",   # LSH-fed production twin (control)
     "q_dedup_clusters",        # LSH pairs -> star-contraction components
     "q_pagerank",              # 3 Pregel-class rounds over the trade graph
     "q_graph_triangles",       # exact-edge triangle enumeration
-    "q_graph_triangles_lsh",   # LSH-fed production twin (control)
-    "q_dedup_minhash",         # banded MinHash-LSH (candidate-bounded control)
+    "q_dedup_prefix_filter",   # df-ordered AllPairs/PPJoin (df-sensitive extreme)
 ]
+
+#: past this per-run duration the big side reports its FIRST timed run
+#: instead of median-of-3 (+warmup): at multi-minute durations scheduler
+#: noise is a few percent of the reading while 4x executions cost an
+#: hour — the first sf10g attempt spent >55 min inside ONE
+#: q_dedup_prefix_filter worker before it was killed. The row is tagged
+#: `~` (single-sample) in the emitted table.
+BUDGET_SEC = 240.0
+
+
+def _measure_budgeted(spark, fn, sf: str) -> tuple[float, bool]:
+    """One timed run after materializing the plan once cheaply is NOT
+    possible (the run IS the materialization), so: time the first run;
+    under budget, continue into the standard median-of-3 protocol (the
+    timed run serves as its warmup); over budget, report that single
+    sample tagged."""
+    import gc
+    import time as _t
+
+    t0 = _t.perf_counter()
+    fn(spark, sf).write.format("noop").mode("overwrite").save()
+    first = _t.perf_counter() - t0
+    if first > BUDGET_SEC:
+        gc.collect()
+        return first, True
+    return _measure(spark, fn, sf), False
 
 
 def _two_dir_worker(name: str, base_dir: str, big_dir: str) -> None:
@@ -240,9 +267,10 @@ def _two_dir_worker(name: str, base_dir: str, big_dir: str) -> None:
     spark = get_spark(f"decade-{name}")
     fn = registry.all_queries()[name].fn
     t_base = _measure(spark, fn, base_dir)
-    t_big = _measure(spark, fn, big_dir)
+    t_big, capped = _measure_budgeted(spark, fn, big_dir)
+    tag = "~" if capped else ""
     print(
-        f"DECROW | {name} | {t_base:.2f} | {t_big:.2f} | {t_big / t_base:.1f}x |",
+        f"DECROW | {name} | {t_base:.2f} | {tag}{t_big:.2f} | {t_big / t_base:.1f}x |",
         flush=True,
     )
     spark.stop()
