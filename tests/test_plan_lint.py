@@ -198,11 +198,21 @@ def test_adjudication_freshness():
     current_round = max(latest.values(), default=0) + 1
     window = set(registry.DRIVER_WINDOW)
     stale = []
+    rows_only_stale = []
     for name, q in sorted(ALL.items()):
-        if not q.oracle:
-            continue  # rows-only queries hold no refreshable hash evidence
         effective = current_round if name in window else latest.get(name, 0)
         age = current_round - effective
+        if not q.oracle:
+            # rows-only queries hold no refreshable HASH evidence, but
+            # their driver ROWS evidence still ages — round-11 VERDICT
+            # item 2: a relaxed K+1 bound keeps the freshness table free
+            # of lint-excluded stragglers (their hard checks live in the
+            # local suite and each run's embedded equivalence proofs, so
+            # a driver row is corroboration, not the primary evidence —
+            # hence the looser bound).
+            if age > MAX_ADJUDICATION_AGE_ROUNDS + 1:
+                rows_only_stale.append((name, latest.get(name), age))
+            continue
         if age > MAX_ADJUDICATION_AGE_ROUNDS:
             stale.append((name, latest.get(name), age))
     assert not stale, (
@@ -210,6 +220,12 @@ def test_adjudication_freshness():
         f"than {MAX_ADJUDICATION_AGE_ROUNDS} rounds and they hold no "
         f"DRIVER_WINDOW slot this round (round {current_round}): {stale} — "
         "head the rotation with the oldest-vintage queries"
+    )
+    assert not rows_only_stale, (
+        f"rows-only queries' driver rows evidence is older than "
+        f"{MAX_ADJUDICATION_AGE_ROUNDS + 1} rounds and they hold no "
+        f"DRIVER_WINDOW slot this round (round {current_round}): "
+        f"{rows_only_stale} — give each a rows-evidence refresh slot"
     )
 
 
