@@ -239,7 +239,7 @@ SF10G_QUERIES = [
 #: hour — the first sf10g attempt spent >55 min inside ONE
 #: q_dedup_prefix_filter worker before it was killed. The row is tagged
 #: `~` (single-sample) in the emitted table.
-BUDGET_SEC = 240.0
+BUDGET_SEC = float(os.environ.get("SCALE_REPORT_BUDGET_SEC", "240"))
 
 
 def _measure_budgeted(spark, fn, sf: str) -> tuple[float, bool]:
