@@ -11,6 +11,7 @@ exactly-once for the file-ingest pipeline.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -27,6 +28,39 @@ from sales_data_pipeline_gcp_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
+
+#: Shuffle/state-store partition count for the DEMO streams below. A
+#: stateful streaming operator creates — and commits one delta file for,
+#: per micro-batch — one state store per shuffle partition (a stream-stream
+#: join holds FOUR stores per partition), and the count is pinned by the
+#: first checkpoint, so it is a per-pipeline sizing decision, not a session
+#: constant. Sizing follows guide §2.2 (partition count from state volume,
+#: not core count): these demo streams hold <= 240 rows of state, where the
+#: session's batch-sized shuffle partitioning spends ~20x more wall-clock
+#: on empty state-store commits than on data (measured round 12: the two
+#: stream-stream joins alone billed 13.8s/sweep, ~90% state-store commit
+#: I/O). Production pipelines size this to state volume / guide §2.2's
+#: 100 MB–1 GB per partition and override via this env var; the batch
+#: surface (everything outside ``_stream_partitions``) keeps the session
+#: default, so the driver's bench comparability is untouched.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+)
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+    """Pin ``spark.sql.shuffle.partitions`` (= streaming state partitions)
+    around a stream's build/start/drain; restores the session value for the
+    batch surface. The conf is read when the streaming query STARTS, so the
+    whole start+awaitTermination must sit inside."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 _TUMBLE_SEC = TUMBLE_MINUTES * 60
 _SLIDE_W_SEC = SLIDE_WINDOW_MINUTES * 60
@@ -246,16 +280,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.writelines(row(i) + "\n" for i in range(n - k, 2 * n - k))
 
     schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
-    src = spark.readStream.schema(schema).option("header", "true").csv(raw)
-    deduped = src.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(["event_id"])
-    (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_partitions(spark):
+        src = spark.readStream.schema(schema).option("header", "true").csv(raw)
+        deduped = src.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(["event_id"])
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     sink = spark.read.parquet(out)
     batch = (
@@ -374,27 +409,28 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).select("user_id", "view_id", "purchase_id")
 
-    vstream = (
-        spark.readStream.schema(schema)
-        .option("header", "true")
-        .csv(vdir)
-        .withWatermark("ts", "30 minutes")
-    )
-    pstream = (
-        spark.readStream.schema(schema)
-        .option("header", "true")
-        .csv(pdir)
-        .withWatermark("ts", "30 minutes")
-    )
-    (
-        interval_join(vstream, pstream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_partitions(spark):
+        vstream = (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .csv(vdir)
+            .withWatermark("ts", "30 minutes")
+        )
+        pstream = (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .csv(pdir)
+            .withWatermark("ts", "30 minutes")
+        )
+        (
+            interval_join(vstream, pstream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     sink = spark.read.parquet(out)
     read = lambda d: spark.read.schema(schema).option("header", "true").csv(d)
@@ -531,15 +567,16 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "30 minutes")
         )
 
-    (
-        interval_join(stream(vdir), stream(pdir))
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_partitions(spark):
+        (
+            interval_join(stream(vdir), stream(pdir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     real = F.col("user_id") < u  # heartbeat rows excluded on both engines
     sink = spark.read.parquet(out).filter(real)
