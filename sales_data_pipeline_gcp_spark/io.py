@@ -83,6 +83,35 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Give CPU-heavy map stages at least session-parallelism tasks. A
+    sub-MB single-row-group parquet file arrives as ONE input split, so
+    everything between the scan and the first exchange (filters, decimal
+    partial aggregation, hashing, higher-order functions) serializes on one
+    core in whole-stage codegen — AQE cannot help because there is no
+    shuffle to adapt (guide §2.2/§6: parallelism must come from input
+    splits, and a single row group cannot split). Repartition ONLY when the
+    scan is narrower than the default parallelism: at cluster scale the
+    input has thousands of splits and this is a no-op (zero added shuffle).
+
+    Apply it AFTER the narrow ``select``/pushdown-eligible ``filter`` so
+    the exchange carries only needed columns and PushedFilters still reach
+    the scan. Only safe above order-independent aggregation (decimal/int
+    sums, count/min/max, hashing) — the engine's oracled queries use
+    exactly those (functions/exact.py).
+
+    Split count is estimated from ``inputFiles()`` — NOT ``df.rdd``, which
+    would build the Python RDD conversion of the scan on every call. The
+    file count under-estimates splits for multi-split files (>128 MB), but
+    the only decision here is "is the scan narrower than the session?",
+    and any input wide enough to mis-estimate is already wide enough.
+
+    (Moved here from operators/dedup.py in round 12 so every operator
+    family can use it; dedup re-exports it.)"""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if len(df.inputFiles()) < n else df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

@@ -71,22 +71,9 @@ shingles AS (
 """
 
 
-def fan_out(df: DataFrame) -> DataFrame:
-    """Give CPU-heavy explode/hash stages at least session-parallelism
-    tasks. A sub-MB parquet file arrives as ONE input split, so everything
-    downstream of the scan (shingle explode, k md5s per occurrence)
-    serializes on one core in whole-stage codegen — AQE cannot help because
-    there is no shuffle to adapt. Repartition ONLY when the scan is
-    narrower than the default parallelism: at cluster scale the input has
-    thousands of splits and this is a no-op (zero added shuffle).
-
-    Split count is estimated from ``inputFiles()`` — NOT ``df.rdd``, which
-    would build the Python RDD conversion of the scan on every call. The
-    file count under-estimates splits for multi-split files (>128 MB), but
-    the only decision here is "is the scan narrower than the session?",
-    and any input wide enough to mis-estimate is already wide enough."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n) if len(df.inputFiles()) < n else df
+# fan_out moved to io.py (round 12) so every operator family can use it;
+# re-exported here for the existing dedup/corpus/components import sites.
+from sales_data_pipeline_gcp_spark.io import fan_out  # noqa: F401,E402
 
 
 def materialize(df: DataFrame) -> DataFrame:

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.io import fan_out, load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
 US_PER_DAY = 86_400_000_000
@@ -52,7 +52,11 @@ def spend_trend(orders: DataFrame) -> DataFrame:
     # core's Python worker busy (4x wall-clock here). At cluster scale the
     # same pin prevents one executor from owning the whole Python stage.
     n = orders.sparkSession.sparkContext.defaultParallelism
-    return orders.repartition(n, "o_custkey").groupBy("o_custkey").applyInPandas(
+    # ship ONLY the 3 columns the fit uses across the Python boundary
+    # (guide §4.1: Spark cannot see which columns applyInPandas touches,
+    # so an un-projected input Arrow-transfers every column of orders)
+    pts = orders.select("o_custkey", "o_orderdate", "o_totalprice")
+    return pts.repartition(n, "o_custkey").groupBy("o_custkey").applyInPandas(
         _fit_group, schema=TREND_SCHEMA
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.io import fan_out, load
 from sales_data_pipeline_gcp_spark.operators.dedup import EMBED_DIM, _sql_dot, spark_dot
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -475,8 +475,13 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_row = cb.agg(F.collect_list(F.struct("m", "k", "sub")).alias("cbs"))
     q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
 
+    # fan_out the corpus branch only (codebook/query rows stay scan-direct):
+    # the in-row PQ encoding (8 subspaces x 16-entry codebook scans in
+    # interpreted higher-order functions) is the dominant CPU and otherwise
+    # runs on ONE input split (io.fan_out; guide §2.2) — per-row map +
+    # deterministic global top-K, so partitioning cannot change the result
     df = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        fan_out(e.filter(F.col("vec_id") != QUERY_VEC_ID))
         .crossJoin(F.broadcast(cb_row))  # single-row: replication factor 1
         .crossJoin(F.broadcast(q_row))
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_gcp_spark.functions.exact import dec, exact_sum, sql_sum
-from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.io import fan_out, load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
 N_BUCKETS = 10
@@ -58,7 +58,14 @@ PRICE_MIN, PRICE_MAX = 0.0, 600000.0
     tags=("agg", "stats"),
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # project to the 3 needed columns, then fan_out: the six decimal
+    # partial sums are the dominant CPU and otherwise run on ONE input
+    # split (io.fan_out; guide §2.2) — decimal sums are order-independent
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
     qty_c = F.col("l_quantity") * 100    # integer-valued cents units
     price_c = F.col("l_extendedprice") * 100
     g = li.groupBy("l_returnflag").agg(

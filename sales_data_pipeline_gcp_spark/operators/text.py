@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_gcp_spark.functions.hashing import shared_hash, sql_shared_hash
-from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.io import fan_out, load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -696,7 +696,15 @@ def q_text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # filter first (pushdown), project to the 2 needed columns, then
+    # fan_out: the per-char higher-order functions are interpreted (not
+    # codegen) and otherwise run on ONE input split (io.fan_out; guide
+    # §2.2) — a per-row map, so partitioning cannot change the result
+    d = fan_out(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
     cs = F.split("text", "")
     dist = F.array_distinct(cs)
     counts = F.transform(

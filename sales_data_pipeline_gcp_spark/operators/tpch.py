@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_gcp_spark.functions.exact import dec, exact_sum, sql_sum
-from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.io import fan_out, load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
 
@@ -46,8 +46,21 @@ from sales_data_pipeline_gcp_spark.plans.registry import register
     tags=("flagship", "tpch"),
 )
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    # filter first (pushdown reaches the scan), project to the 7 needed
+    # columns, then fan_out so the decimal partial aggregation does not
+    # serialize on a single input split (io.fan_out; guide §2.2) —
+    # decimal sums and counts are order-independent
+    li = fan_out(
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
