@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_gcp_spark.functions.exact import exact_sum, sql_avg, sql_sum
-from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.io import fan_out, load
 from sales_data_pipeline_gcp_spark.operators.core import top_k, top_k_per_group
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
@@ -53,12 +53,21 @@ from sales_data_pipeline_gcp_spark.plans.registry import register
     tags=("agg", "flagship"),
 )
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out after the pushdown filter + narrow projection (io.fan_out;
+    # guide §2.2): the decimal partial aggregation otherwise serializes on
+    # one input split — decimal sums/counts are order-independent
+    li = fan_out(
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum("l_quantity", 2).alias("sum_qty"),
             exact_sum("l_extendedprice", 2).alias("sum_base_price"),
@@ -117,7 +126,11 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "lineitem")
+        fan_out(
+            load(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_linestatus", "l_quantity"
+            )
+        )
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n_items"), exact_sum("l_quantity", 2).alias("sum_qty"))
     )
@@ -137,7 +150,11 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "lineitem")
+        fan_out(
+            load(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_linestatus", "l_extendedprice"
+            )
+        )
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n_items"), exact_sum("l_extendedprice", 2).alias("sum_price"))
     )
@@ -159,7 +176,11 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
     return li.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
