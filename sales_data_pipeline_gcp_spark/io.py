@@ -116,9 +116,16 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for ``spark.sql``."""
-    for t in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register fixture tables as temp views for ``spark.sql``. Callers that
+    know their statement's table set should pass it: each registration is a
+    relation resolution (file listing + parquet footer read) inside the
+    query path, and registering all 10 tables bills ~0.3-0.5s per
+    ``spark.sql`` query for views the statement never names (guide §1.2 —
+    don't compute things you throw away)."""
+    for t in tables:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 

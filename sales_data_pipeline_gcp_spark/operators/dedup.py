@@ -1301,6 +1301,11 @@ def prefix_candidates(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Da
     reachable = F.lit(1) + F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
+    # carry both docs' (functional) sizes through the distinct: sz is
+    # determined by doc_id, so the candidate-pair cardinality is unchanged,
+    # and the verification stage can compute Jaccard without re-joining the
+    # doc-size table twice (guide §2.4 — round-12: dropped one checkpoint
+    # job + two joins from prefix_filter_pairs)
     return (
         prefixes.alias("a")
         .join(
@@ -1313,16 +1318,25 @@ def prefix_candidates(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Da
             & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
             & (reachable >= alpha)
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .distinct()
     )
 
 
 def prefix_filter_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Prefix-filter candidates + exact Jaccard verification — the full
-    AllPairs/PPJoin pipeline over an exploded (doc_id, shingle) set."""
-    # doc-sized; feeds both sides of the size join below
-    sizes = materialize(sh.groupBy("doc_id").agg(F.count("*").alias("sz")))
+    AllPairs/PPJoin pipeline over an exploded (doc_id, shingle) set.
+
+    Candidates carry both docs' shingle-set sizes out of the candidate join
+    (sz is functional on doc_id — prefix_candidates already computes it for
+    the PPJoin length filter), so verification needs only the intersection
+    count: no separate size table, no checkpoint job for it, and two fewer
+    joins than the round-11 shape (guide §2.4)."""
     cands = prefix_candidates(sh, threshold)
     inter = (
         cands.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
@@ -1331,20 +1345,16 @@ def prefix_filter_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
             (F.col("doc_b") == F.col("y.doc_id"))
             & (F.col("x.shingle") == F.col("y.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             (
                 F.col("inter").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -597,7 +597,7 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hashlib.md5(" ".join(chunk).encode()).hexdigest(),
                 )
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     spark.udtf.register("chunk_docs_udtf", ChunkDocs)
     return spark.sql(
         """

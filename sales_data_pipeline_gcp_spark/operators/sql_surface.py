@@ -85,8 +85,12 @@ _SQL_TOP_ORDERS_PER_SEGMENT = """
 """
 
 
-def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_views(spark, sf_dir)
+def _run_sql(
+    spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]
+) -> DataFrame:
+    # register exactly the statement's tables: each registration resolves a
+    # relation (listing + footer read) inside the query path (io docstring)
+    register_views(spark, sf_dir, tables)
     return spark.sql(sql)
 
 
@@ -102,7 +106,7 @@ def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     tags=("sql",),
 )
 def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_sql(spark, sf_dir, _SQL_REVENUE_BY_NATION)
+    return _run_sql(spark, sf_dir, _SQL_REVENUE_BY_NATION, ("customer", "orders", "lineitem", "nation"))
 
 
 @register(
@@ -114,7 +118,7 @@ def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql",),
 )
 def q_sql_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_sql(spark, sf_dir, _SQL_SEGMENT_LEADERS)
+    return _run_sql(spark, sf_dir, _SQL_SEGMENT_LEADERS, ("customer", "orders"))
 
 
 @register(
@@ -129,7 +133,7 @@ def q_sql_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql",),
 )
 def q_sql_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_sql(spark, sf_dir, _SQL_TOP_ORDERS_PER_SEGMENT)
+    return _run_sql(spark, sf_dir, _SQL_TOP_ORDERS_PER_SEGMENT, ("customer", "orders"))
 
 
 @register(
@@ -142,7 +146,7 @@ def q_sql_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql",),
 )
 def q_sql_doc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_sql(spark, sf_dir, _SQL_DOC_SOURCE_PROFILE)
+    return _run_sql(spark, sf_dir, _SQL_DOC_SOURCE_PROFILE, ("documents",))
 
 
 #: Recursion depth bound: the chain covers the TRAILING this-many months.
@@ -239,7 +243,7 @@ _SQL_CHAIN_OVER_VIEW = """
     tags=("sql", "recursive", "timeseries"),
 )
 def q_sql_chained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("orders",))
     grown = spark.sql(_SQL_GROWN_PREFIX).localCheckpoint(eager=True)
     grown.createOrReplaceTempView("chained_grown")
     return spark.sql(_SQL_CHAIN_OVER_VIEW)
