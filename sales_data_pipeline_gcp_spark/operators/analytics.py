@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_gcp_spark.functions.exact import dec
-from sales_data_pipeline_gcp_spark.io import load
+from sales_data_pipeline_gcp_spark.io import fan_out, load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
 #: RFM quantile buckets per dimension (the classic 4-tile scheme).
@@ -342,7 +342,11 @@ XYZ_Y_CV2 = 1.0
     tags=("analytics", "agg", "stats"),
 )
 def q_xyz_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # pure scan -> two-level integer-exact aggregate chain: fan_out the
+    # single-split scan (io.fan_out; guide §2.2)
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_quantity")
+    )
     weekly = li.groupBy(
         "l_partkey",
         F.expr("datediff(l_shipdate, date'1970-01-01') div 7").alias("wk"),
@@ -432,6 +436,15 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("l_quantity"), 0)).cast("bigint").alias("q"),
         F.sum(dec(F.col("l_extendedprice") * 100, 0)).cast("bigint").alias("r_c"),
     )
+    # pm feeds THREE branches (the base-month scalar, the base-month part
+    # table, and the matched join probe); without cutting lineage each
+    # branch re-runs the fact rollup (profiled round 12: the rollup stage
+    # executed 3x per run). The monthly per-part rollup is the standard
+    # materialized cube at any scale — orders of magnitude smaller than
+    # the fact table once parts repeat within a month.
+    from sales_data_pipeline_gcp_spark.operators.dedup import materialize
+
+    pm = materialize(pm)
     base_mon = pm.agg(F.min("mon").alias("mon0"))
     base = (
         pm.join(F.broadcast(base_mon), pm.mon == F.col("mon0"))
