@@ -1073,9 +1073,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
     )
     # norms are computed ONCE per vector before the self-join (the oracle
-    # recomputes them per pair — identical doubles, 2x fewer dot products)
+    # recomputes them per pair — identical doubles, 2x fewer dot products).
+    # fan_out first: the checkpoint otherwise inherits the single input
+    # split, so the label-blocked pair stage (a 64-float interpreted dot
+    # per pair) runs near-serial (io.fan_out; guide §2.2)
     e = materialize(
-        base.unionByName(clones).withColumn(
+        fan_out(base.unionByName(clones)).withColumn(
             "norm", F.sqrt(spark_dot(F.col("embedding"), F.col("embedding")))
         )
     )

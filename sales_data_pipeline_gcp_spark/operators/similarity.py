@@ -111,8 +111,10 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
+    # fan_out the corpus side: |corpus| x |queries| interpreted cosines
+    # otherwise run on one input split (io.fan_out; guide §2.2)
     scored = (
-        e.crossJoin(F.broadcast(qs))
+        fan_out(e).crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -215,7 +217,9 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < NUM_CELLS)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid"))
     )
-    assigned = ivf_assign(e, cents)
+    # fan_out the corpus branch: the per-vector argmax over all centroids
+    # (interpreted HOFs) otherwise runs on one input split (io.fan_out)
+    assigned = ivf_assign(fan_out(e), cents)
 
     probed = (
         cents.crossJoin(F.broadcast(q))
@@ -357,7 +361,10 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
-    assigned = ivf_assign(e, cents)
+    # fan_out the corpus branch (io.fan_out): assignment argmax + the
+    # 64-way posexplode otherwise run on one input split; the per-cell
+    # decimal mean is order-independent
+    assigned = ivf_assign(fan_out(e), cents)
     exploded = assigned.select(
         "cell", F.posexplode("embedding").alias("pos", "fval")
     ).select(
