@@ -34,6 +34,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NS_PER_US = 1_000
 NS_PER_SECOND = 1_000_000_000
 
+#: Declared reader schemas for the fixture tables (DDL strings; every field
+#: nullable, matching parquet inference). Passing an explicit schema to the
+#: parquet reader skips per-call footer-read schema inference — measured
+#: 131ms -> 30ms per ``load`` call (round 12), and the engine's own rule
+#: (module docstring) already names inference a scale anti-pattern: at
+#: 100 TB production tables carry catalog schemas, they are never
+#: re-inferred per query. ``events`` is deliberately ABSENT: two fixture
+#: encodings exist in the wild (TIMESTAMP(NANOS) vs MICROS footers) and
+#: ``load`` must branch on what it finds. Drift guard:
+#: tests/test_read_modes.py asserts declared == inferred per table on every
+#: fixture dir present.
+PARQUET_SCHEMAS = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": "p_partkey bigint, p_name string, p_brand string, p_type string, "
+    "p_size int, p_retailprice double",
+    "orders": "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    "lineitem": "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+    "l_linenumber int, l_quantity double, l_extendedprice double, "
+    "l_discount double, l_tax double, l_returnflag string, "
+    "l_linestatus string, l_shipdate timestamp_ntz",
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet scan of one fixture table (TESTDATA.md layout).
@@ -80,6 +109,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             )
             df = df.withColumn("ts", us * NS_PER_US)
         return df.withColumn("ts_us", F.timestamp_micros(F.expr(f"ts div {NS_PER_US}")))
+    schema = PARQUET_SCHEMAS.get(table)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -56,3 +56,35 @@ def test_max_records_per_file_bounds_output(spark, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) >= 10
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_declared_parquet_schemas_match_inference(spark):
+    """Drift guard for io.PARQUET_SCHEMAS (round 12): the declared reader
+    schemas skip per-call footer inference, so they must equal what
+    inference would produce on EVERY fixture dir present — a fixture
+    regeneration that changes a type must fail here, not silently coerce
+    in the vectorized reader."""
+    import glob
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from sales_data_pipeline_gcp_spark.io import PARQUET_SCHEMAS
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = 0
+    for sf_dir in sorted(
+        glob.glob("/root/testdata/sf*") + glob.glob(os.path.join(here, ".scale", "sf*"))
+    ):
+        for table, ddl in PARQUET_SCHEMAS.items():
+            path = f"{sf_dir}/{table}.parquet"
+            if not os.path.exists(path):
+                continue
+            inferred = spark.read.parquet(path).schema
+            declared = _parse_datatype_string(ddl)
+            assert declared == inferred, (
+                f"{path}: declared {declared.simpleString()} != "
+                f"inferred {inferred.simpleString()}"
+            )
+            checked += 1
+    assert checked > 0, "no fixture dirs found to audit"
