@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_gcp_spark.functions.exact import dec
-from sales_data_pipeline_gcp_spark.io import fan_out, load
+from sales_data_pipeline_gcp_spark.io import load
 from sales_data_pipeline_gcp_spark.plans.registry import register
 
 #: RFM quantile buckets per dimension (the classic 4-tile scheme).
@@ -342,11 +342,12 @@ XYZ_Y_CV2 = 1.0
     tags=("analytics", "agg", "stats"),
 )
 def q_xyz_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pure scan -> two-level integer-exact aggregate chain: fan_out the
-    # single-split scan (io.fan_out; guide §2.2)
-    li = fan_out(
-        load(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_quantity")
-    )
+    # NO fan_out here (round 13): the driver's r12 bench read the round-12
+    # repartition 1.23x slower min-of-2 (1.06 -> 1.59s single-sweep) — the
+    # two-level integer rollup is too cheap per row to amortize a full-row
+    # keyless repartition + its local sort (guide §2.5); the round-12 A/B
+    # baseline that justified it was a storm-window reading (VERDICT r12).
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_quantity")
     weekly = li.groupBy(
         "l_partkey",
         F.expr("datediff(l_shipdate, date'1970-01-01') div 7").alias("wk"),
@@ -437,14 +438,14 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("l_extendedprice") * 100, 0)).cast("bigint").alias("r_c"),
     )
     # pm feeds THREE branches (the base-month scalar, the base-month part
-    # table, and the matched join probe); without cutting lineage each
-    # branch re-runs the fact rollup (profiled round 12: the rollup stage
-    # executed 3x per run). The monthly per-part rollup is the standard
-    # materialized cube at any scale — orders of magnitude smaller than
-    # the fact table once parts repeat within a month.
-    from sales_data_pipeline_gcp_spark.operators.dedup import materialize
-
-    pm = materialize(pm)
+    # table, and the matched join probe), so each branch re-runs the fact
+    # rollup. Round 12 checkpointed pm here; the driver's bench read that
+    # 1.32x SLOWER in both its runs (1.87 -> 2.46s) — at bench SF the
+    # checkpoint job costs more than the 3x rollup re-execution saves, so
+    # round 13 reverts it (VERDICT r12 item 1; driver is the arbiter). At
+    # 100 TB the rollup IS the materialization candidate (orders of
+    # magnitude smaller than the fact table); a production deployment
+    # checkpoints or stores it — documented trade, not a code path here.
     base_mon = pm.agg(F.min("mon").alias("mon0"))
     base = (
         pm.join(F.broadcast(base_mon), pm.mon == F.col("mon0"))

@@ -176,10 +176,13 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = fan_out(
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
-        )
+    # NO fan_out here (round 13): the driver's r12 bench read the round-12
+    # repartition 1.38x SLOWER in both its runs (1.10 -> 1.52s) — the
+    # count-distinct Expand already provides a shuffle for parallelism and
+    # the keyless-repartition sort (guide §2.5) is pure overhead on this
+    # cheap-aggregate shape.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     return li.agg(
         F.count("*").alias("n_rows"),

@@ -521,22 +521,15 @@ def test_funnel_steps_aggregates_before_joins(spark, sf_dir):
 
 
 def test_price_index_collapses_before_join(spark, sf_dir):
-    """The fact stream collapses to (part, month) BEFORE the base join.
-    Round 12: the (part, month) rollup is materialized ONCE (eager
-    localCheckpoint — it fed three branches and re-executed per branch), so
-    the final plan must probe checkpointed rollup rows (Scan ExistingRDD
-    carrying the rollup columns), never re-scan the fact parquet, and the
-    base join must be broadcast."""
+    """The fact stream collapses to (part, month) BEFORE the base join:
+    partial+final HashAggregate pair appears below the join. (Round 13
+    reverted the round-12 rollup checkpoint — the driver's bench read it
+    1.32x slower in both r12 runs; this restores the round-11 assertion.)"""
     plan = plan_str(QS["q_price_index"].fn(spark, sf_dir))
-    # both join inputs read the materialized rollup, not lineitem parquet
-    assert "Scan ExistingRDD" in plan
-    assert "Scan parquet" not in plan and "ReadSchema" not in plan
-    rdd_args = [l for l in plan.splitlines() if "localCheckpoint" in l]
-    assert rdd_args and all("l_partkey" in l and "mon" in l for l in rdd_args)
-    assert "BroadcastHashJoin" in plan
-    # month rollup (partial+final) still aggregates above the join
     aggs = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
-    assert len(aggs) >= 2
+    assert len(aggs) >= 4  # pm rollup (partial+final) + final month rollup
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_returnflag" not in read
 
 
 def test_udtf_is_arrow_batched(spark, sf_dir):

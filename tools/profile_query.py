@@ -78,8 +78,12 @@ def main() -> None:
         samples = []
         for i in range(args.runs):
             sc.setJobDescription(f"timed:{name}:{i}")
-            df2 = q.fn(spark, args.sf_dir)  # rebuild: some fns have side work
+            # t0 BEFORE the rebuild (round-12 ADVICE): eager materialize /
+            # localCheckpoint work inside query fns runs under the timed
+            # label, so the wall sample must cover the same jobs the REST
+            # aggregates count — bench.py times the same way.
             t0 = time.perf_counter()
+            df2 = q.fn(spark, args.sf_dir)  # rebuild: some fns have side work
             df2.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 4))
         sc.setJobDescription(None)
