@@ -49,17 +49,45 @@ STREAM_STATE_PARTITIONS = int(
 
 
 @contextlib.contextmanager
-def _stream_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+def _stream_partitions(
+    spark: SparkSession,
+    n: int = STREAM_STATE_PARTITIONS,
+    *,
+    final_no_data_batch: bool = True,
+):
     """Pin ``spark.sql.shuffle.partitions`` (= streaming state partitions)
     around a stream's build/start/drain; restores the session value for the
     batch surface. The conf is read when the streaming query STARTS, so the
-    whole start+awaitTermination must sit inside."""
+    whole start+awaitTermination must sit inside.
+
+    ``final_no_data_batch=False`` additionally disables
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` for the scope: an
+    AvailableNow drain otherwise appends one empty micro-batch after the
+    data batches purely to advance the watermark and evict state — a full
+    trigger cycle (planning + state-store commits + sink commit, measured
+    ~0.5-0.9s/batch round 13) that writes NOTHING for operators whose sink
+    content is watermark-INDEPENDENT. That is exactly the eager-emission
+    class: stream-stream INNER joins and dropDuplicates(WithinWatermark)
+    emit rows the moment they are seen; only watermark-GATED emission
+    (outer-join NULLs, append-mode aggregations) needs the final batch, and
+    those streams must keep the default. Correctness evidence: the embedded
+    rows/hash batch-equivalence columns are computed per run, and
+    tests/test_streaming.py pins the semantics.
+
+    NOTE: both settings mutate session-global conf for the scope's
+    duration; the bench driver runs queries single-threaded, which this
+    (and every scoped conf in the repo) assumes — a multi-threaded driver
+    would need a lock here."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if not final_no_data_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_ndb)
 
 
 _TUMBLE_SEC = TUMBLE_MINUTES * 60
@@ -280,7 +308,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.writelines(row(i) + "\n" for i in range(n - k, 2 * n - k))
 
     schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
-    with _stream_partitions(spark):
+    # dropDuplicatesWithinWatermark emits every survivor the moment it is
+    # first seen — the sink never depends on watermark advancement, so the
+    # final no-data micro-batch is pure state-eviction overhead here
+    with _stream_partitions(spark, final_no_data_batch=False):
         src = spark.readStream.schema(schema).option("header", "true").csv(raw)
         deduped = src.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(["event_id"])
         (
@@ -409,7 +440,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).select("user_id", "view_id", "purchase_id")
 
-    with _stream_partitions(spark):
+    # INNER stream-stream joins emit eagerly — the sink never depends on
+    # watermark advancement (the watermark only bounds STATE here), so the
+    # final no-data micro-batch is pure state-eviction overhead
+    with _stream_partitions(spark, final_no_data_batch=False):
         vstream = (
             spark.readStream.schema(schema)
             .option("header", "true")
@@ -483,8 +517,9 @@ STREAM_OUTER_HEARTBEAT_USER = 9_000
     "watermark-gated NULL emission that makes outer attribution joins "
     "deterministic instead of racy. Mechanics: purchases exist only for "
     "even view indices, so exactly half the views must surface as NULL "
-    "rows; far-future heartbeat rows land on BOTH streams in their own "
-    "final micro-batch (maxFilesPerTrigger=1 + forced mtime ordering) to "
+    "rows; far-future heartbeat rows land on BOTH streams (in the same "
+    "data micro-batch — watermarks apply only from the NEXT batch, so "
+    "they cannot late-drop the real rows they ride with) to "
     "advance the closing watermark past every real row's horizon, and "
     "heartbeat users are excluded from sink and batch alike (their own "
     "unmatched rows sit beyond the final watermark by construction -- "
@@ -499,8 +534,6 @@ STREAM_OUTER_HEARTBEAT_USER = 9_000
     tags=("streaming", "join"),
 )
 def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time
-
     from pyspark.sql import functions as F
 
     base = tempfile.mkdtemp(prefix="stream_join_outer_")
@@ -525,18 +558,21 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Far-future heartbeats on BOTH streams: the query watermark is the
     # MIN across all watermarked inputs, so both sides must advance for
     # the final watermark to pass v_ts + horizon and release the NULL
-    # rows. Forced mtimes make the FileStreamSource (modification-time
-    # ordered) process them strictly AFTER the data files, in their own
-    # micro-batch -- a heartbeat processed FIRST would jump the watermark
-    # and drop every real row as late.
+    # rows. Heartbeats ride in the SAME micro-batch as the data (round
+    # 13): a watermark is computed from a batch's max event time and
+    # applied only from the NEXT batch on, so heartbeats sharing the data
+    # batch cannot late-drop any real row — the drain is one data batch
+    # plus the final no-data batch that emits the watermark-gated NULL
+    # rows, instead of the round-12 shape's three (maxFilesPerTrigger=1
+    # + forced mtimes serialized the heartbeats into their own batch,
+    # one full trigger cycle of pure overhead; output proven identical
+    # by the embedded rows/hash evidence and the pinned semantics tests).
     hb_minute = 2 * n + 240
-    future = time.time() + 3600
     for d, uid in ((vdir, hb), (pdir, hb + 1)):
         p = os.path.join(d, "z_heartbeat.csv")
         with open(p, "w") as f:
             f.write("user_id,ts,event_id\n")
             f.write(f"{uid},{ts(hb_minute)},{900_000}\n")
-        os.utime(p, (future, future))
 
     schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT"
 
@@ -562,7 +598,6 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             spark.readStream.schema(schema)
             .option("header", "true")
-            .option("maxFilesPerTrigger", 1)
             .csv(d)
             .withWatermark("ts", "30 minutes")
         )
