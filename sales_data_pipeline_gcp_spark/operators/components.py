@@ -55,10 +55,11 @@ def connected_components(
     # checkpoint the edge set FIRST, then derive labels from the
     # checkpointed plan — deriving labels from the raw plan would
     # re-execute the whole upstream pipeline a second time
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    sym = materialize(sym, label="labelprop_edges")
+    labels = materialize(
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")),
+        label="labelprop_seed",
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -71,7 +72,7 @@ def connected_components(
         )
         # localCheckpoint truncates the exponentially-growing lineage; the
         # convergence check is the honest fixpoint test
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = materialize(new_labels, label="labelprop_iter")
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -84,38 +85,74 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(
+    e: DataFrame, *, input_oriented: bool = False, dedup_output: bool = True
+) -> DataFrame:
     """One large-star round: for every node u, connect each STRICTLY LARGER
     neighbor v to m(u) = min(neighbors(u) + {u}). Every undirected edge is
     processed from its smaller endpoint's perspective; output edges are
-    oriented child > parent."""
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    m = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("minv"))
-        .select("u", F.least("minv", F.col("u")).alias("m"))
-    )
-    return (
-        sym.join(m, "u")
+    oriented child > parent (u > v strictly: v = m(u_old) <= u_old < u).
+
+    ``input_oriented=True`` asserts the caller's edge set is DISTINCT and
+    strictly oriented u > v — then the symmetrized union cannot contain
+    duplicates (the two branches live in disjoint half-planes) and the
+    symmetrization ``distinct`` (one full 2|E| exchange) is skipped.
+    ``dedup_output=False`` skips the output ``distinct`` for callers whose
+    next operation re-deduplicates anyway (``_small_star`` starts with
+    one). Both flags exist for the contraction loop (guide §2.4: remove
+    shuffles outright); default behavior is unchanged for arbitrary input.
+    With ``dedup_output=True`` the output is duplicate-free — the
+    invariant the loop's cheap set-equality fixpoint test consumes."""
+    from pyspark.sql import Window as W
+
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # ONE u-keyed exchange feeds everything below (guide §2.4: operations
+    # keyed the same way share an exchange): HashPartitioning(u) satisfies
+    # the distinct's (u,v) clustering AND the window's u clustering, and
+    # m(u) = min over the u-partition is a WINDOW, not a groupBy+self-join
+    # — the join formulation re-executed the whole upstream once per join
+    # side (broadcast build) and cost 2 extra exchanges + a broadcast job
+    # per call (round-13 plan probe: 10 Exchange / 4 BroadcastHashJoin for
+    # one fused round; the window form plans 3 Exchange / 0 joins).
+    sym = sym.repartition("u")
+    if not input_oriented:
+        sym = sym.distinct()
+    m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+    out = (
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup_output else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: orient every edge toward its smaller endpoint,
     then for every node u re-hang u and all its smaller neighbors off
-    m(u) = min(smaller neighbors)."""
-    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
-    m = d.groupBy("u").agg(F.min("v").alias("m"))
-    rehung = (
-        d.join(m, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    m(u) = min(smaller neighbors). Output is DISTINCT and strictly
+    oriented u > v (rehung: u = v_old >= m with equality filtered; self
+    edge: u > v >= m) — the duplicate-free invariant the contraction
+    loop's count-equality + one-sided exceptAll fixpoint test relies on
+    (round-12 ADVICE: guard the invariant where it is produced)."""
+    from pyspark.sql import Window as W
+
+    # same one-exchange sharing as _large_star: the u-keyed repartition
+    # satisfies the distinct's (u,v) clustering and the m(u) window; no
+    # groupBy+join, so no upstream re-execution for a broadcast build.
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .repartition("u")
+        .distinct()
+        .withColumn("m", F.min("v").over(W.partitionBy("u")))
     )
-    self_edge = m.select("u", F.col("m").alias("v"))
+    rehung = d.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    # one (u, m) row PER EDGE instead of per u — the closing distinct
+    # (which the rehang's child re-keying forces anyway) folds the
+    # duplicates, same volume class as the edge set itself
+    self_edge = d.select("u", F.col("m").alias("v"))
     return rehung.unionByName(self_edge).filter(F.col("u") != F.col("v")).distinct()
 
 
@@ -138,17 +175,20 @@ def connected_components_star(
     )
     # checkpoint the edges FIRST so nodes/rounds don't re-run the upstream
     # pair pipeline (same contract as connected_components)
-    e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = materialize(e, label="cc_star_edges")
     cur = e
     n_cur = cur.count()
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # loop-body fusion (guide §2.4, round 13): ``cur`` is always
+        # DISTINCT and strictly oriented u > v (the initial greatest/least
+        # distinct, then _small_star's output invariant), so _large_star
+        # skips its symmetrization distinct, and its output distinct is
+        # skipped because _small_star immediately re-deduplicates — two
+        # full edge-set exchanges (= two AQE stage-jobs) removed per round.
+        nxt = materialize(
+            _small_star(_large_star(cur, input_oriented=True, dedup_output=False)),
+            label="cc_star_round",
+        )
         # set-equality fixpoint test, cheapened (guide §2.4): both rounds'
         # edge sets are ``.distinct()`` outputs, so equality ⇔ equal
         # cardinality AND empty one-sided difference. Counting the (already
@@ -163,7 +203,15 @@ def connected_components_star(
     else:
         raise RuntimeError(f"connected_components_star did not converge in {max_rounds} rounds")
     # at fixpoint ``cur`` is a star forest: (child, root). Roots appear
-    # only on the right side; give them self-labels.
+    # only on the right side; give them self-labels. ``nodes`` is derived
+    # here from the CHECKPOINTED initial edge set — it feeds exactly one
+    # anti-join, so the round-12 eager checkpoint of it was one extra job
+    # for a subtree that executes once anyway (removed round 13).
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
     children = cur.select(F.col("u").alias("node"), F.col("v").alias("label"))
     roots = nodes.join(children.select("node").distinct(), "node", "left_anti").select(
         "node", F.col("node").alias("label")
@@ -694,14 +742,13 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KHOP_TOP_SUPPLIERS)
         .select("c", "s")
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = materialize(edges, label="sssp_edges")
     # seed frontier: the lowest-keyed customer at distance 0, kept entirely
     # on the executors as a one-row DataFrame (no driver-side collect —
     # the seed is data, not control flow, so it never has to leave the JVM)
-    dist = (
-        edges.agg(F.min("c").alias("c"))
-        .select("c", F.lit(0).cast("int").alias("d"))
-        .localCheckpoint(eager=True)
+    dist = materialize(
+        edges.agg(F.min("c").alias("c")).select("c", F.lit(0).cast("int").alias("d")),
+        label="sssp_seed",
     )
     for r in range(1, SSSP_MAX_HOPS + 1):
         # one projection hop = two bipartite hops; the distinct supplier
@@ -713,10 +760,8 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         frontier = sup.join(edges, "s").select("c", F.lit(r).alias("d"))
-        dist = (
-            dist.unionByName(frontier)
-            .groupBy("c")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+        dist = materialize(
+            dist.unionByName(frontier).groupBy("c").agg(F.min("d").alias("d")),
+            label="sssp_round",
         )
     return dist.select(F.col("c").alias("custkey"), F.col("d").cast("int").alias("dist"))

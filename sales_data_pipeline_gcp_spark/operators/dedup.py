@@ -22,6 +22,8 @@ idea as stopword removal).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,8 +77,11 @@ shingles AS (
 # re-exported here for the existing dedup/corpus/components import sites.
 from sales_data_pipeline_gcp_spark.io import fan_out  # noqa: F401,E402
 
+#: execution-order counter for SPARK_GRAFT_PLAN_DUMP_DIR checkpoint dumps.
+_PLAN_DUMP_SEQ = 0
 
-def materialize(df: DataFrame) -> DataFrame:
+
+def materialize(df: DataFrame, label: str | None = None) -> DataFrame:
     """Cut a reused subtree out of every downstream branch: eager
     ``localCheckpoint`` computes it ONCE and replaces the lineage with the
     stored partitions. Spark does no cross-branch subtree reuse, so without
@@ -85,12 +90,35 @@ def materialize(df: DataFrame) -> DataFrame:
     stage of the pipeline running 2-6x (the round-2 bench outlier's
     structural amplifier).
 
+    Plan evidence for iterative operators (round-12 VERDICT item 6): a
+    checkpoint REPLACES lineage, so a final ``explain`` of a loop's result
+    is a vacuous 3-node scan of the last checkpoint. When
+    ``SPARK_GRAFT_PLAN_DUMP_DIR`` is set, every materialize dumps the
+    PRE-checkpoint formatted plan of the subtree it is about to compute —
+    numbered in execution order, tagged with ``label`` where the caller
+    passes one — which is exactly the per-iteration loop-body plan
+    (tools/dump_plans.py --iter drives this).
+
     Scale note: everything checkpointed in the minhash pipeline is one row
     per DOC (shingle arrays, k-long signatures) — never the corpus-sized
     exploded occurrence stream (round-4 restructure; checkpointing the
     exploded stream more than doubled wall time at sf0.1). On a real
     cluster ``checkpoint()`` to HDFS/object storage survives executor loss;
     localCheckpoint is the single-node analog."""
+    dump_dir = os.environ.get("SPARK_GRAFT_PLAN_DUMP_DIR")
+    if dump_dir:
+        import contextlib
+        import io
+
+        global _PLAN_DUMP_SEQ
+        _PLAN_DUMP_SEQ += 1
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        os.makedirs(dump_dir, exist_ok=True)
+        tag = f"{_PLAN_DUMP_SEQ:02d}" + (f"_{label}" if label else "")
+        with open(os.path.join(dump_dir, f"ckpt_{tag}.txt"), "w") as f:
+            f.write(buf.getvalue())
     return df.localCheckpoint(eager=True)
 
 
