@@ -291,7 +291,17 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
 )
 def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out the probe side (round 13, guide §2.2): the fixture scan is
+    # 3 input splits, and each probe row pays FIVE decimal(38) products +
+    # six decimal sums — the same CPU-bound partial-aggregation shape as
+    # q_agg_stats (driver-confirmed 1.71x there) serializing on 3 of 32
+    # cores. The dimension join stays broadcast; a no-op at cluster scale
+    # (io.fan_out gates on inputFiles() < defaultParallelism).
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        )
+    )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     qty_c = F.col("l_quantity") * 100
     price_c = F.col("l_extendedprice") * 100
