@@ -619,6 +619,10 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_data_pipeline_gcp_spark.operators.relational2 import BITMAP_WORD
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # NOTE (round 13): probe-side fan_out was measured here and REVERTED —
+    # the trade rollup's map work (one decimal conversion + broadcast
+    # probe) is too cheap to amortize a full-row keyless repartition
+    # (interleaved A/B: 2.8 -> 3.1-4.2s), unlike the 5-product OLS shape.
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice"
     )
@@ -752,7 +756,13 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for r in range(1, SSSP_MAX_HOPS + 1):
         # one projection hop = two bipartite hops; the distinct supplier
-        # frontier is bounded by the supplier dimension, never pair counts
+        # frontier is bounded by the supplier dimension, never pair counts.
+        # NOTE (round 13): explicit F.broadcast of the frontier sides was
+        # measured here and REVERTED (interleaved A/B min 3.15 -> 3.51s):
+        # the per-round driver-side broadcast builds cost more than the
+        # AQE-planned joins they replaced — AQE already keeps these joins
+        # cheap at bench scale, and at cluster scale the frontier-broadcast
+        # decision belongs to AQE's runtime statistics anyway.
         sup = (
             dist.filter(F.col("d") == r - 1)
             .join(edges, "c")
