@@ -289,11 +289,24 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         shared_hash32(F.col("shingle"), "mh:a:").alias("b1"),
         shared_hash32(F.col("shingle"), "mh:b:").alias("b2"),
     )
-    aggs = [
-        F.min(F.col("b1") + F.lit(i) * F.col("b2")).alias(f"mh_{i}")
-        for i in range(NUM_HASHES)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    # ONE named_struct aggregate expression + field unpack instead of a
+    # NUM_HASHES-Column builder loop (round 13, VERDICT item 7): the k
+    # min-aggregates and their arithmetic are IDENTICAL (verified: same
+    # schema, same aggregate plan modulo one trivial unpack Project, equal
+    # rows), but plan construction drops from ~50 py4j round trips to 2 —
+    # ~0.25s of per-run fn-construction cost paid by every minhash-family
+    # query. The 8KB-JIT-method rationale is untouched: codegen sees the
+    # same k aggregate expressions either way.
+    struct_sql = (
+        "named_struct("
+        + ", ".join(f"'mh_{i}', min(b1 + {i} * b2)" for i in range(NUM_HASHES))
+        + ")"
+    )
+    return (
+        hashed.groupBy("doc_id")
+        .agg(F.expr(struct_sql).alias("__sig"))
+        .select("doc_id", "__sig.*")
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -303,11 +316,21 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     Banding is ONE posexplode over an array of bucket keys, not a b-way
     union: a union re-executes the whole signature pipeline once per band
     (Spark does no cross-branch subtree reuse), an explode scans it once."""
-    keys = []
-    for band in range(NUM_BANDS):
-        cols = [F.col(f"mh_{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        keys.append(F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])))
-    exploded = sig.select("doc_id", F.posexplode(F.array(*keys)).alias("band", "bucket"))
+    # single selectExpr instead of a per-band Column builder loop — same
+    # md5(concat_ws(cast..)) expressions, 2 py4j calls instead of ~40
+    # (round 13, VERDICT item 7; rows verified equal)
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"cast(mh_{band * ROWS_PER_BAND + r} as string)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + "))"
+        for band in range(NUM_BANDS)
+    )
+    exploded = sig.selectExpr(
+        "doc_id", f"posexplode(array({band_exprs})) as (band, bucket)"
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -1761,9 +1784,13 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = materialize(minhash_signatures(exploded))
     cand = lsh_candidate_pairs(sig)
     truth = jaccard_pairs(exploded)
-    agree = sum(
-        F.when(F.col(f"__a.mh_{i}") == F.col(f"__b.mh_{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
+    # one expression string instead of a NUM_HASHES when/otherwise builder
+    # loop (round 13, VERDICT item 7) — same CASE arithmetic, 1 py4j call
+    agree = F.expr(
+        " + ".join(
+            f"(CASE WHEN __a.mh_{i} = __b.mh_{i} THEN 1 ELSE 0 END)"
+            for i in range(NUM_HASHES)
+        )
     )
     est = agree.cast("double") / F.lit(float(NUM_HASHES))
     return (
