@@ -494,47 +494,56 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one narrow column per subspace: each expression (16-entry codebook
     # scan over an 8-dim zip_with/aggregate) generates its own modest
-    # methods, all below the JIT compile/inline thresholds
+    # methods, all below the JIT compile/inline thresholds. The PQ_M
+    # columns are built as SQL STRINGS in one selectExpr (round 13,
+    # VERDICT item 7): the per-subspace Column/lambda builder loop cost
+    # ~1.4s of py4j round trips per fn build — inside the timed region on
+    # every run — while the string form builds the IDENTICAL expressions
+    # (same schema, rows verified equal, same unrolled-plan JIT layout)
+    # in ~0.25s. The array_min struct's field order (dist, k, sub) is
+    # load-bearing: struct comparison is lexicographic, so min = nearest
+    # entry with ties broken by lowest k.
+    def _sql_l2sq(a: str, b: str) -> str:
+        # sequential squared-L2, same fold order as _spark_l2sq/_sql_l2sq
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "(cast(x as double) - cast(y as double)) * "
+            "(cast(x as double) - cast(y as double))), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    pq_cols = []
     for m in range(PQ_M):
-        vsub = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        qsub = F.slice(F.col("qe"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        # NB: a bare 1-arg lambda is REQUIRED — a 2-arg lambda (e.g. the
-        # `lambda c, m=m:` default-arg idiom) is interpreted by PySpark's
-        # higher-order-function binding as (element, index) and the second
-        # name silently becomes the array index. F.filter evaluates the
-        # lambda eagerly at expression-build time, so closing over the
-        # loop variable is safe.
-        cands = F.filter(F.col("cbs"), lambda c: c["m"] == m)
-        scored = F.transform(
-            cands,
-            lambda c: F.struct(
-                _spark_l2sq(vsub, c["sub"]).alias("dist"),
-                c["k"].alias("k"),
-                c["sub"].alias("sub"),
-            ),
+        vsub = f"slice(embedding, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        qsub = f"slice(qe, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        best = (
+            f"array_min(transform(filter(cbs, c -> c.m = {m}), "
+            f"c -> named_struct('dist', {_sql_l2sq(vsub, 'c.sub')}, "
+            "'k', c.k, 'sub', c.sub)))"
         )
-        best = F.array_min(scored)  # (dist, k) min: nearest entry, ties -> lowest k
-        df = df.withColumn(
-            f"_pq{m}",
-            F.struct(
-                best["k"].alias("code"),
-                # decimal(24,12): addition widens to (25,12) — never past 38,
-                # so the fold is EXACT (a (38,12) accumulator would overflow
-                # on add and silently shed scale digits)
-                _spark_l2sq(qsub, best["sub"]).cast("decimal(24,12)").alias("qd"),
-            ),
+        # decimal(24,12): addition widens to (25,12) — never past 38,
+        # so the fold is EXACT (a (38,12) accumulator would overflow
+        # on add and silently shed scale digits)
+        pq_cols.append(
+            f"named_struct('code', {best}.k, "
+            f"'qd', cast({_sql_l2sq(qsub, best + '.sub')} as decimal(24,12))) as _pq{m}"
         )
+    df = df.selectExpr("vec_id", "label", *pq_cols)
     # same left-fold order and per-step decimal cast as the fused form
-    approx = F.lit(0).cast("decimal(24,12)")
+    approx = "cast(0 as decimal(24,12))"
     for m in range(PQ_M):
-        approx = (approx + F.col(f"_pq{m}")["qd"]).cast("decimal(24,12)")
-    codes = F.concat_ws(",", *[F.col(f"_pq{m}")["code"].cast("string") for m in range(PQ_M)])
+        approx = f"cast(({approx} + _pq{m}.qd) as decimal(24,12))"
+    codes = (
+        "concat_ws(',', "
+        + ", ".join(f"cast(_pq{m}.code as string)" for m in range(PQ_M))
+        + ")"
+    )
     return (
-        df.select(
+        df.selectExpr(
             "vec_id",
             "label",
-            codes.alias("codes"),
-            approx.cast("double").alias("approx_l2"),
+            f"{codes} as codes",
+            f"cast({approx} as double) as approx_l2",
         )
         .orderBy(F.col("approx_l2").asc(), F.col("vec_id").asc())
         .limit(PQ_TOPK)
