@@ -854,20 +854,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-bit vote = fold of +-1 over the hash array (order-independent
     # integer sum); bit set iff vote > 0 — same semantics as the oracle's
-    # SUM(CASE...) GROUP BY doc_id, but with no aggregation at all
-    simhash = None
-    for i in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        term = F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
+    # SUM(CASE...) GROUP BY doc_id, but with no aggregation at all. Built
+    # as ONE SQL string (round 13, VERDICT item 7): the 32-bit Column
+    # builder loop cost ~320 py4j round trips (~1s of per-run fn-build
+    # time); the string parses the identical fold/CASE expressions
+    # (rows verified equal).
+    simhash = " + ".join(
+        f"(CASE WHEN aggregate(hs, 0, (acc, h) -> acc + "
+        f"(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN cast({1 << i} as bigint) ELSE cast(0 as bigint) END)"
+        for i in range(SIMHASH_BITS)
+    )
     # one row per doc; feeds both sides of the chunk self-join — without
     # this the in-row hash+fold stage executes twice
-    sim = materialize(hashed.select("doc_id", simhash.alias("simhash")))
+    sim = materialize(hashed.selectExpr("doc_id", f"{simhash} as simhash"))
 
     chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
     # one posexplode pass over all chunks (see lsh_candidate_pairs)
@@ -958,16 +958,6 @@ def _plane_signs() -> list[list[int]]:
 _SIGNS = _plane_signs()
 
 
-def _rp_dot(vec_col, plane: list[int]):
-    """Signed projection: left-to-right double fold, matching _sql_rp_dot."""
-    signs = F.array(*[F.lit(float(s)) for s in plane])
-    return F.aggregate(
-        F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _sql_rp_dot(vec: str, plane: list[int]) -> str:
     lits = ", ".join(f"{s:.1f}" for s in plane)
     return (
@@ -978,14 +968,26 @@ def _sql_rp_dot(vec: str, plane: list[int]) -> str:
 
 def rp_lsh_code(e: DataFrame, vec: str = "embedding") -> DataFrame:
     """Append the RP_PLANES-bit sign-LSH code as ``code`` (long). The code
-    is a pure narrow map — at 100 TB this is one pass, no shuffle."""
-    code = None
+    is a pure narrow map — at 100 TB this is one pass, no shuffle.
+
+    Built as ONE SQL string (round 13, VERDICT item 7): the Column form
+    constructed 32 planes x 64 sign literals through py4j (~2k round
+    trips, ~1s of fn-build time per run); the string form parses the
+    identical expressions — same D-suffixed double literals, same
+    left-to-right fold per plane, same ascending-plane bit sum (rows
+    verified equal against the Column form)."""
+    terms = []
     for p, plane in enumerate(_SIGNS):
-        bit = F.when(_rp_dot(F.col(vec), plane) >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        lits = ", ".join(f"{s:.1f}D" for s in plane)
+        dot = (
+            f"aggregate(zip_with({vec}, array({lits}), (x, s) -> cast(x as double) * s), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
         )
-        code = bit if code is None else code + bit
-    return e.withColumn("code", code)
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN cast({1 << p} as bigint) "
+            "ELSE cast(0 as bigint) END)"
+        )
+    return e.selectExpr("*", " + ".join(terms) + " as code")
 
 
 @register(
