@@ -1313,15 +1313,30 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def prefix_candidates(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def prefix_candidates(
+    sh: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    *,
+    shs_arrays: DataFrame | None = None,
+) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from the prefix filter:
     order each doc's shingles by global df (rarest first, ties by value),
     keep the first |d| - ceil(t*|d|) + 1, equi-join prefixes. Complete for
-    Jaccard >= ``threshold`` by the prefix-filter theorem."""
+    Jaccard >= ``threshold`` by the prefix-filter theorem.
+
+    ``shs_arrays`` (optional): the per-doc DISTINCT-shingle ARRAY table the
+    exploded ``sh`` derives from. When provided, per-doc set sizes come
+    from an in-row ``F.size`` over it instead of a corpus-stream groupBy —
+    identical values (one exploded row per distinct shingle), one full
+    occurrence-stream shuffle removed (guide §2.4)."""
     from pyspark.sql import Window as W
 
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes = (
+        shs_arrays.select("doc_id", F.size("shs").alias("sz"))
+        if shs_arrays is not None
+        else sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    )
     prefix_len = (
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("long") + 1
     )
@@ -1384,7 +1399,12 @@ def prefix_candidates(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Da
     )
 
 
-def prefix_filter_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def prefix_filter_pairs(
+    sh: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    *,
+    shs_arrays: DataFrame | None = None,
+) -> DataFrame:
     """Prefix-filter candidates + exact Jaccard verification — the full
     AllPairs/PPJoin pipeline over an exploded (doc_id, shingle) set.
 
@@ -1392,8 +1412,34 @@ def prefix_filter_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     (sz is functional on doc_id — prefix_candidates already computes it for
     the PPJoin length filter), so verification needs only the intersection
     count: no separate size table, no checkpoint job for it, and two fewer
-    joins than the round-11 shape (guide §2.4)."""
-    cands = prefix_candidates(sh, threshold)
+    joins than the round-11 shape (guide §2.4).
+
+    ``shs_arrays`` (optional, round 13): the per-doc shingle ARRAY table.
+    When provided, verification is the verify_jaccard shape — join the
+    |docs|-row array table per side and count ``|A ∩ B|`` IN-ROW via
+    ``array_intersect`` — instead of re-joining the corpus-sized exploded
+    occurrence stream twice and re-aggregating (guide §2.3: the shuffled
+    bytes scale with candidates x arrays, not with the occurrence stream;
+    same restructure the minhash verify got in round 4). Identical
+    Jaccard: both sides are distinct-shingle sets either way."""
+    cands = prefix_candidates(sh, threshold, shs_arrays=shs_arrays)
+    if shs_arrays is not None:
+        a = shs_arrays.select(F.col("doc_id").alias("__ja"), F.col("shs").alias("shs_a"))
+        b = shs_arrays.select(F.col("doc_id").alias("__jb"), F.col("shs").alias("shs_b"))
+        inter = F.size(F.array_intersect("shs_a", "shs_b"))
+        return (
+            cands.join(a, F.col("doc_a") == F.col("__ja"))
+            .join(b, F.col("doc_b") == F.col("__jb"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    inter.cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - inter)
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     inter = (
         cands.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(
@@ -1474,9 +1520,14 @@ PREFIX_FILTER_THRESHOLD = 0.8
     tags=("dedup",),
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return prefix_filter_pairs(
-        materialize(doc_shingles(spark, sf_dir)), PREFIX_FILTER_THRESHOLD
-    )
+    # checkpoint the |docs|-row ARRAY table, not the corpus-sized exploded
+    # stream (round 13 — the module's own doc-granular-checkpoint
+    # discipline; the exploded stream is derived lazily and only feeds the
+    # df/prefix aggregations), and verify in-row via the array table
+    # (prefix_filter_pairs shs_arrays path)
+    shs = materialize(shingle_arrays(fan_out(load(spark, sf_dir, "documents"))))
+    sh = shs.select("doc_id", F.explode("shs").alias("shingle"))
+    return prefix_filter_pairs(sh, PREFIX_FILTER_THRESHOLD, shs_arrays=shs)
 
 
 # ---------------------------------------------------------------------------
