@@ -473,11 +473,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "dedup"),
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sales_data_pipeline_gcp_spark.operators.dedup import doc_shingles, jaccard_pairs
+    from sales_data_pipeline_gcp_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_arrays,
+    )
 
-    sh = materialize(doc_shingles(spark, sf_dir))
+    # checkpoint the |docs|-row ARRAY table, derive the exploded stream
+    # lazily, per-doc sizes in-row (round 13 — same restructure as
+    # q_dedup_ngram_jaccard; the shingle self-join's two sides share one
+    # exchange via ReusedExchange)
+    shs = materialize(shingle_arrays(fan_out(load(spark, sf_dir, "documents"))))
+    sh = shs.select("doc_id", F.explode("shs").alias("shingle"))
     edges = materialize(
-        jaccard_pairs(sh)
+        jaccard_pairs(sh, shs_arrays=shs)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )

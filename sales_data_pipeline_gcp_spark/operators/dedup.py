@@ -175,10 +175,20 @@ jaccard_pairs AS (
 """
 
 
-def jaccard_pairs(sh: DataFrame) -> DataFrame:
+def jaccard_pairs(sh: DataFrame, *, shs_arrays: DataFrame | None = None) -> DataFrame:
     """All-pairs shingle Jaccard from an exploded (doc_id, shingle) set —
-    DataFrame twin of ``_JACCARD_PAIRS_SQL``."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    DataFrame twin of ``_JACCARD_PAIRS_SQL``.
+
+    The shingle-keyed self-join IS the candidate generation and must run
+    on the exploded stream; but the per-doc sizes are an in-row ``F.size``
+    over the ARRAY table when the caller has one (``shs_arrays``,
+    round 13) — identical values (one exploded row per distinct shingle),
+    one full occurrence-stream groupBy shuffle removed (guide §2.4)."""
+    sizes = (
+        shs_arrays.select("doc_id", F.size("shs").alias("n"))
+        if shs_arrays is not None
+        else sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -249,9 +259,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sh feeds 3 branches (sizes, both join sides) — materialize once
-    sh = materialize(doc_shingles(spark, sf_dir))
-    return jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # checkpoint the |docs|-row ARRAY table (doc-granular discipline; the
+    # exploded stream is derived lazily — the self-join's two sides share
+    # one exchange via ReusedExchange) and take per-doc sizes in-row
+    shs = materialize(shingle_arrays(fan_out(load(spark, sf_dir, "documents"))))
+    sh = shs.select("doc_id", F.explode("shs").alias("shingle"))
+    return jaccard_pairs(sh, shs_arrays=shs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1748,7 +1763,7 @@ def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = shs.select("doc_id", F.explode("shs").alias("shingle"))
     sig = materialize(minhash_signatures(exploded))
     cand = lsh_candidate_pairs(sig)
-    truth = jaccard_pairs(exploded).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    truth = jaccard_pairs(exploded, shs_arrays=shs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     n_docs_row = shs.agg(F.count("*").alias("n_docs"))
     hit = cand.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     counts = (
@@ -1836,7 +1851,7 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = shs.select("doc_id", F.explode("shs").alias("shingle"))
     sig = materialize(minhash_signatures(exploded))
     cand = lsh_candidate_pairs(sig)
-    truth = jaccard_pairs(exploded)
+    truth = jaccard_pairs(exploded, shs_arrays=shs)
     # one expression string instead of a NUM_HASHES when/otherwise builder
     # loop (round 13, VERDICT item 7) — same CASE arithmetic, 1 py4j call
     agree = F.expr(
