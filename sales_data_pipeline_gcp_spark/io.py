@@ -109,10 +109,29 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             )
             df = df.withColumn("ts", us * NS_PER_US)
         return df.withColumn("ts_us", F.timestamp_micros(F.expr(f"ts div {NS_PER_US}")))
-    schema = PARQUET_SCHEMAS.get(table)
+    schema = _parsed_schema(table)
     if schema is not None:
         return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+#: memoized StructType per table — STATIC metadata (parsed form of the
+#: PARQUET_SCHEMAS DDL constants above, no data involved): reader.schema()
+#: re-parses a DDL string through py4j on every call (~20ms), while a
+#: pre-parsed StructType passes in ~14ms — ~6ms x ~350 load calls per bench
+#: sweep (round 13, guide §1.2). Parsed lazily because DDL parsing needs a
+#: live JVM.
+_PARSED_SCHEMAS: dict[str, T.StructType] = {}
+
+
+def _parsed_schema(table: str) -> T.StructType | None:
+    ddl = PARQUET_SCHEMAS.get(table)
+    if ddl is None:
+        return None
+    st = _PARSED_SCHEMAS.get(table)
+    if st is None:
+        st = _PARSED_SCHEMAS[table] = T.StructType.fromDDL(ddl)
+    return st
 
 
 def fan_out(df: DataFrame) -> DataFrame:
