@@ -44,7 +44,11 @@ NS_PER_SECOND = 1_000_000_000
 #: encodings exist in the wild (TIMESTAMP(NANOS) vs MICROS footers) and
 #: ``load`` must branch on what it finds. Drift guard:
 #: tests/test_read_modes.py asserts declared == inferred per table on every
-#: fixture dir present.
+#: fixture dir present. NOTE (round-12 ADVICE): spark.read.schema() COERCES
+#: silently — a fixture regenerated with a renamed/missing column comes back
+#: all-NULL, not as an error — so any fixture regeneration MUST re-run
+#: tests/test_read_modes.py on the machine holding the new fixtures before
+#: trusting query output.
 PARQUET_SCHEMAS = {
     "region": "r_regionkey int, r_name string",
     "nation": "n_nationkey int, n_name string, n_regionkey int",
